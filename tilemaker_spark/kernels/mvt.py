@@ -1,0 +1,211 @@
+"""Mapbox Vector Tile encoding (G16-G18) — hand-rolled protobuf writer.
+
+Re-expresses the reference's tile serialization:
+- command stream (MoveTo/LineTo/ClosePath, delta + zigzag):
+  src/write_geometry.cpp:93-130 — including the exact quirks: strings
+  with <2 points dropped, consecutive identical pixels deduped, strings
+  whose lineTo count collapses to 0 dropped, lastPos carried across
+  rings/parts within one feature, closePath appended for rings.
+- per-layer key/value dictionaries: src/output_object.cpp:99-138 (A8/G17).
+- Tile/Layer/Feature/Value protobuf: include/vector_tile.proto:7-100
+  (version 2, extent 4096 — src/tile_worker.cpp:186-187).
+- gzip/zlib compression: src/helpers.cpp:20-65 (G18).
+
+No protobuf library needed: the writer emits wire-format bytes directly
+(deterministic field order).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import struct
+import zlib
+
+import numpy as np
+
+GEOM_UNKNOWN, GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON = 0, 1, 2, 3
+
+
+# ---------------------------------------------------------------- protobuf
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    n &= 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _packed_varints(field: int, values) -> bytes:
+    payload = b"".join(_varint(int(v)) for v in values)
+    return _len_delim(field, payload)
+
+
+def zigzag32(n) -> np.ndarray:
+    """(n << 1) ^ (n >> 31) on int32 (reference: src/write_geometry.cpp:103)."""
+    n = np.asarray(n, dtype=np.int64)
+    return ((n << 1) ^ (n >> 63)).astype(np.uint64)
+
+
+# ------------------------------------------------------------ command stream
+def encode_point_geometry(px: int, py: int) -> list:
+    """Single point: MoveTo x1 (reference: src/tile_worker.cpp:112-115)."""
+    return [9, int(zigzag32(px)), int(zigzag32(py))]
+
+
+def write_delta_string(pxs: np.ndarray, pys: np.ndarray, last_pos: list,
+                       close_path: bool) -> list:
+    """One linestring/ring -> command ints; mutates last_pos [x, y].
+
+    Faithful to src/write_geometry.cpp:93-130.
+    """
+    n = len(pxs)
+    if n < 2:
+        return []
+    geometry = []
+    last_x = int(pxs[0])
+    last_y = int(pys[0])
+    dx = last_x - last_pos[0]
+    dy = last_y - last_pos[1]
+    geometry.append(9)  # moveTo, repeat x1
+    geometry.append(int(zigzag32(dx)))
+    geometry.append(int(zigzag32(dy)))
+    length = 0
+    geometry.append(0)  # lineTo opcode placeholder (index 3)
+    for i in range(1, n):
+        x = int(pxs[i])
+        y = int(pys[i])
+        if x == last_x and y == last_y:
+            continue
+        geometry.append(int(zigzag32(x - last_x)))
+        geometry.append(int(zigzag32(y - last_y)))
+        last_x, last_y = x, y
+        length += 1
+    if length == 0:
+        return []
+    geometry[3] = (length << 3) + 2
+    if close_path:
+        geometry.append(7 + 8)  # closePath x1
+    last_pos[0] = last_x
+    last_pos[1] = last_y
+    return geometry
+
+
+def encode_line_geometry(parts: list) -> list:
+    """Multilinestring -> command ints. ``parts`` = [(pxs, pys), ...]."""
+    last_pos = [0, 0]
+    out: list = []
+    for pxs, pys in parts:
+        out.extend(write_delta_string(np.asarray(pxs), np.asarray(pys), last_pos, False))
+    return out
+
+
+def encode_polygon_geometry(polys: list) -> list:
+    """Multipolygon -> command ints. ``polys`` = list of polygons, each a
+    list of rings (pxs, pys), ring 0 exterior (reference:
+    src/write_geometry.cpp:23-52 — all rings closePath, lastPos shared)."""
+    last_pos = [0, 0]
+    out: list = []
+    for rings in polys:
+        for pxs, pys in rings:
+            out.extend(write_delta_string(np.asarray(pxs), np.asarray(pys), last_pos, True))
+    return out
+
+
+# ------------------------------------------------------------------- values
+def encode_value(v) -> bytes:
+    """Tile_Value message bytes (include/vector_tile.proto:16-27).
+    Accepts str, bool, int, float — one arm set."""
+    if isinstance(v, bool):
+        return _tag(7, 0) + _varint(1 if v else 0)
+    if isinstance(v, str):
+        return _len_delim(1, v.encode("utf-8"))
+    if isinstance(v, (int, np.integer)):
+        return _tag(4, 0) + _varint(int(v) & 0xFFFFFFFFFFFFFFFF if v >= 0 else (int(v) + (1 << 64)))
+    if isinstance(v, (float, np.floating)):
+        # tilemaker writes float_value for Lua numerics (src/osm_lua_processing.cpp:344)
+        return _tag(2, 5) + struct.pack("<f", float(v))
+    raise TypeError(f"unsupported attribute value type: {type(v)}")
+
+
+def encode_feature(geom_type: int, geometry: list, tag_idx: list,
+                   feature_id: int | None = None) -> bytes:
+    out = bytearray()
+    if feature_id is not None:
+        out += _tag(1, 0) + _varint(int(feature_id))
+    if tag_idx:
+        out += _packed_varints(2, tag_idx)
+    out += _tag(3, 0) + _varint(geom_type)
+    out += _packed_varints(4, geometry)
+    return bytes(out)
+
+
+def encode_layer(name: str, features: list, keys: list, values: list,
+                 version: int = 2, extent: int = 4096) -> bytes:
+    """Layer message: features already encoded, keys are str, values are
+    raw python values (encoded here)."""
+    out = bytearray()
+    out += _tag(15, 0) + _varint(version)
+    out += _len_delim(1, name.encode("utf-8"))
+    for f in features:
+        out += _len_delim(2, f)
+    for k in keys:
+        out += _len_delim(3, k.encode("utf-8"))
+    for v in values:
+        out += _len_delim(4, encode_value(v))
+    out += _tag(5, 0) + _varint(extent)
+    return bytes(out)
+
+
+def encode_tile(layers: list) -> bytes:
+    """Tile message: repeated Layer field 3."""
+    return b"".join(_len_delim(3, layer) for layer in layers)
+
+
+class LayerDicts:
+    """Per-layer key/value dictionary builder (A8/G17), mirroring
+    findValue/writeAttributes (src/output_object.cpp:99-138): linear
+    first-occurrence indices."""
+
+    def __init__(self):
+        self.keys: list = []
+        self.values: list = []
+        self._kidx: dict = {}
+        self._vidx: dict = {}
+
+    def key_index(self, k: str) -> int:
+        i = self._kidx.get(k)
+        if i is None:
+            i = len(self.keys)
+            self.keys.append(k)
+            self._kidx[k] = i
+        return i
+
+    def value_index(self, v) -> int:
+        kk = (type(v).__name__, v)
+        i = self._vidx.get(kk)
+        if i is None:
+            i = len(self.values)
+            self.values.append(v)
+            self._vidx[kk] = i
+        return i
+
+
+def compress_tile(data: bytes, use_gzip: bool = True, level: int = -1) -> bytes:
+    """G18 (reference: src/helpers.cpp:20-65). Deterministic at fixed level.
+    gzip wrapper written with mtime=0 for byte-stable output."""
+    if use_gzip:
+        return _gzip.compress(data, compresslevel=6 if level == -1 else level, mtime=0)
+    return zlib.compress(data, level)
