@@ -1,0 +1,185 @@
+"""Geometry assembly: J1 way->node join, J2 relation ring assembly.
+
+The reference resolves way node-refs through in-RAM hash maps
+(include/osm_store.h:293-308) and assembles multipolygons per relation
+(include/osm_store.h:172-256). Here:
+
+- J1 is a set-level equi-join: posexplode(refs) ⋈ nodes on node_id,
+  then groupBy(way_id) with an order-restoring sort_array — pure
+  DataFrame ops, sort-merge or broadcast as Catalyst/AQE chooses.
+- J2 is applyInPandas grouped by rel_id (groups are tiny — a handful
+  of member ways), running the faithful fixpoint stitcher
+  (kernels.geomops.assemble_rings) + hole assignment + winding fix.
+
+Output geometry is the packed binary of kernels.geompack (int32
+fixed-point), carried through the tile stages as one BINARY column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .kernels import geomops, geompack
+
+
+def ways_with_coords(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """J1: way refs -> ordered coordinate arrays.
+
+    -> (way_id, refs, lons ARRAY<INT>, latps ARRAY<INT>)
+    reference: include/osm_store.h:293-308 (fillPoints).
+    """
+    exploded = ways.select("way_id", F.posexplode("refs").alias("pos", "node_id"))
+    joined = exploded.join(nodes.select("node_id", "lon", "latp"), "node_id")
+    return (
+        joined.groupBy("way_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "node_id", "lon", "latp"))).alias("pts"))
+        .select(
+            "way_id",
+            F.col("pts.node_id").alias("refs"),
+            F.col("pts.lon").alias("lons"),
+            F.col("pts.latp").alias("latps"),
+        )
+    )
+
+
+def assemble_way_geometries(features: DataFrame, way_coords: DataFrame) -> DataFrame:
+    """Attach geometry to way-features: linestring or single-ring polygon.
+
+    Winding correction for polygons happens in the encode stage (same
+    place the reference's geom::correct effectively lands for simple
+    ways). -> features + (lons, latps).
+    """
+    wf = features.where(F.col("elem") == "way")
+    return wf.join(
+        way_coords.select(F.col("way_id").alias("object_id"), "lons", "latps"),
+        "object_id",
+    )
+
+
+_REL_GEOM_SCHEMA = (
+    "object_id long, elem string, layer string, kind int, "
+    "attrs map<string,string>, as_centroid boolean, geom binary"
+)
+
+
+def assemble_relation_geometries(rel_features: DataFrame, relations: DataFrame,
+                                 way_coords: DataFrame) -> DataFrame:
+    """J2: multipolygon assembly per relation via applyInPandas.
+
+    Joins member ways (preserving member order — the reference's greedy
+    stitcher is order-dependent, include/osm_store.h:186-239) to their
+    coords, then per relation: stitch outer rings by shared endpoints,
+    assign inners to the outer that contains them, fix winding.
+    """
+    members = relations.select(
+        "rel_id",
+        F.posexplode(F.concat("outer_refs", "inner_refs")).alias("m_pos", "way_id"),
+        F.size("outer_refs").alias("n_outer"),
+    ).withColumn("role", F.when(F.col("m_pos") < F.col("n_outer"), F.lit("outer")).otherwise(F.lit("inner")))
+
+    mem_coords = members.join(way_coords, "way_id", "left")
+    feat = rel_features.select(
+        F.col("object_id").alias("rel_id"), "elem", "layer", "kind", "attrs", "as_centroid")
+    grouped = mem_coords.join(feat, "rel_id")
+
+    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for (rel_id,), g in pdf.groupby(["rel_id"], sort=False):
+            g = g.sort_values("m_pos")
+            # missing member ways tolerated with a warning by the reference
+            # (README.md:114) — drop them
+            g = g[g["refs"].notna()]
+            outer_ids = [np.asarray(r, dtype=np.int64) for r in g[g.role == "outer"]["refs"]]
+            inner_ids = [np.asarray(r, dtype=np.int64) for r in g[g.role == "inner"]["refs"]]
+            # node id -> coords lookup from member ways
+            coord: dict = {}
+            for _, row in g.iterrows():
+                for nid, lo, la in zip(row["refs"], row["lons"], row["latps"]):
+                    coord[int(nid)] = (int(lo), int(la))
+            outers, inners = geomops.assemble_rings(outer_ids, inner_ids)
+
+            def ring_xy(ids):
+                lons = np.fromiter((coord[int(i)][0] for i in ids), dtype=np.int64, count=len(ids))
+                latps = np.fromiter((coord[int(i)][1] for i in ids), dtype=np.int64, count=len(ids))
+                return lons, latps
+
+            polys = []
+            for o in outers:
+                ox, oy = ring_xy(o)
+                ox, oy = geomops.correct_winding(ox, oy, outer=True)
+                rings = [(ox, oy)]
+                for inn in inners:
+                    ix, iy = ring_xy(inn)
+                    if geomops.ring_within_ring(ix.astype(np.float64), iy.astype(np.float64),
+                                                ox.astype(np.float64), oy.astype(np.float64)):
+                        ix, iy = geomops.correct_winding(ix, iy, outer=False)
+                        rings.append((ix, iy))
+                polys.append(rings)
+            if not polys:
+                continue
+            first = g.iloc[0]
+            out_rows.append({
+                "object_id": int(rel_id), "elem": first["elem"], "layer": first["layer"],
+                "kind": int(first["kind"]), "attrs": first["attrs"],
+                "as_centroid": bool(first["as_centroid"]),
+                "geom": geompack.pack_polygon(polys),
+            })
+        cols = ["object_id", "elem", "layer", "kind", "attrs", "as_centroid", "geom"]
+        return pd.DataFrame(out_rows, columns=cols)
+
+    return grouped.groupBy("rel_id").applyInPandas(_assemble, schema=_REL_GEOM_SCHEMA)
+
+
+def pack_way_geometries(way_feats_with_coords: DataFrame) -> DataFrame:
+    """Pack (lons, latps) into binary geom per feature kind — vectorized
+    pandas UDF (Arrow batches)."""
+    from pyspark.sql.types import BinaryType
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _pack(kind: pd.Series, lons: pd.Series, latps: pd.Series) -> pd.Series:
+        out = []
+        for k, lo, la in zip(kind, lons, latps):
+            lo = np.asarray(lo, dtype=np.int64)
+            la = np.asarray(la, dtype=np.int64)
+            if k == 3:  # polygon: single ring, winding corrected
+                ox, oy = geomops.correct_winding(lo, la, outer=True)
+                out.append(geompack.pack_polygon([[(ox, oy)]]))
+            else:
+                out.append(geompack.pack_line([(lo, la)]))
+        return pd.Series(out)
+
+    return (
+        way_feats_with_coords
+        .withColumn("geom", _pack(F.col("kind"), F.col("lons"), F.col("latps")))
+        .drop("lons", "latps")
+    )
+
+
+def assemble_features(nodes: DataFrame, ways: DataFrame, relations: DataFrame,
+                      node_feats: DataFrame, way_feats: DataFrame,
+                      rel_feats: DataFrame) -> DataFrame:
+    """Full assembly -> features(object_id, elem, layer, kind, attrs,
+    as_centroid, geom BINARY, lon, latp).
+
+    Point features keep (lon, latp) columns and a null geom — points are
+    the common case and skip binary packing entirely.
+    """
+    point_features = node_feats.select(
+        "object_id", "elem", "layer", "kind", "attrs", "as_centroid",
+        F.lit(None).cast("binary").alias("geom"), "lon", "latp")
+
+    way_coords = ways_with_coords(ways, nodes)
+    wf = assemble_way_geometries(way_feats, way_coords)
+    wf_packed = pack_way_geometries(wf).select(
+        "object_id", "elem", "layer", "kind", "attrs", "as_centroid", "geom",
+        F.lit(None).cast("int").alias("lon"), F.lit(None).cast("int").alias("latp"))
+
+    rf = assemble_relation_geometries(rel_feats, relations, way_coords).select(
+        "object_id", "elem", "layer", "kind", "attrs", "as_centroid", "geom",
+        F.lit(None).cast("int").alias("lon"), F.lit(None).cast("int").alias("latp"))
+
+    return point_features.unionByName(wf_packed).unionByName(rf)

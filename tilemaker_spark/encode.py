@@ -1,0 +1,197 @@
+"""Per-tile MVT encode stage (A4/A5/A8, F8/F9, G5-G18, W3/W4).
+
+One applyInPandas over groupBy(z, x, y): inside each group the full
+reference tile-worker flow (src/tile_worker.cpp:102-254) runs
+vectorized per feature:
+
+  sort/dedup (A4, src/tile_data.cpp:125-136)
+  -> per output-layer group in declaration order (W4)
+  -> zoom-range filter (F8) + simplify tolerance (src/tile_worker.cpp:167-176)
+  -> clip (G7-G9, src/output_object.cpp:25-74)
+  -> optional same-attribute merge (A5, --combine)
+  -> Douglas-Peucker (G10) -> 4096-grid scale (G6)
+  -> MVT command stream (G16) + attr dictionaries (A8/G17)
+  -> protobuf + gzip (G18)
+
+Returns (z, x, y, tile BINARY, feature_count, geometry_hash) — the
+metrics columns feed the lineage table (north_rule).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .config import Config
+from .kernels import clip as C, geomops, geompack, mercator as M, mvt, simplify as S
+
+ENCODE_SCHEMA = ("z int, x long, y long, tile binary, feature_count int, "
+                 "geometry_hash long, raw_bytes int")
+
+
+def _attrs_key(attrs: dict) -> str:
+    """Canonical attribute sort key (A4) — mirrors the reference's
+    lexicographic Tile_Value compare (src/output_object.cpp:154-176)."""
+    if not attrs:
+        return ""
+    return "\x1f".join(f"{k}\x1e{attrs[k]}" for k in sorted(attrs))
+
+
+def _scale_ring(bb: M.TileBbox, lons: np.ndarray, latps: np.ndarray):
+    return bb.scale_latp_lon(latps, lons)
+
+
+def _encode_feature_geom(row, bb: M.TileBbox, tol: float, include_centroid: bool):
+    """-> (geom_type, command list) or None if clipped/degenerate away."""
+    kind = row["kind"]
+    box = bb.clip_box
+    if kind == 1 or row["as_centroid"]:
+        if row["as_centroid"] and row["geom"] is not None:
+            gk, payload = geompack.unpack(bytes(row["geom"]))
+            rings_f = [[(lo / 1e7, la / 1e7) for lo, la in rings] for rings in payload]
+            cx, cy = geomops.multipolygon_centroid(
+                [[(np.asarray(x), np.asarray(y)) for x, y in rings] for rings in rings_f])
+        else:
+            cx, cy = row["lon"] / 1e7, row["latp"] / 1e7
+        if not C.clip_point(cx, cy, box):
+            return None
+        px, py = bb.scale_latp_lon(np.array([cy]), np.array([cx]))
+        return mvt.GEOM_POINT, mvt.encode_point_geometry(int(px[0]), int(py[0]))
+
+    gk, payload = geompack.unpack(bytes(row["geom"]))
+    if kind == 2:  # multilinestring
+        parts = []
+        for lo, la in payload:
+            pieces = C.clip_line(lo / 1e7, la / 1e7, box)
+            for xs, ys in pieces:
+                if tol > 0.0:
+                    xs, ys = S.simplify_line(xs, ys, tol)
+                parts.append(_scale_ring(bb, xs, ys))
+        cmds = mvt.encode_line_geometry(parts)
+        return (mvt.GEOM_LINESTRING, cmds) if cmds else None
+
+    # polygon
+    polys = []
+    for rings in payload:
+        out_rings = []
+        for ri, (lo, la) in enumerate(rings):
+            xs, ys = lo / 1e7, la / 1e7
+            if not C.ring_within_box(xs, ys, box):
+                res = C.clip_ring(xs, ys, box)
+                if res is None:
+                    if ri == 0:
+                        out_rings = []
+                        break
+                    continue
+                xs, ys = res
+                xs, ys = geomops.correct_winding(xs, ys, outer=(ri == 0))
+            if tol > 0.0:
+                res = S.simplify_ring(xs, ys, tol)
+                if res is None:
+                    if ri == 0:
+                        out_rings = []
+                        break
+                    continue
+                xs, ys = res
+            out_rings.append(_scale_ring(bb, xs, ys))
+        if out_rings:
+            polys.append(out_rings)
+    cmds = mvt.encode_polygon_geometry(polys)
+    return (mvt.GEOM_POLYGON, cmds) if cmds else None
+
+
+def make_encoder(cfg: Config):
+    """Returns the applyInPandas function closure (cfg is tiny; it ships
+    in the pickled closure — the broadcast-variable pattern without the
+    SparkContext dependency)."""
+    layer_order = cfg.layer_order
+    layers_cfg = cfg.layers
+
+    def encode_tiles(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (z, x, y), g in pdf.groupby(["z", "x", "y"], sort=False):
+            z, x, y = int(z), int(x), int(y)
+            bb = M.TileBbox(x, y, z)
+            # F7: skip tiles wholly outside config bbox
+            if cfg.bounding_box is not None:
+                mnl, mnla, mxl, mxla = cfg.bounding_box
+                if mxl <= bb.min_lon or mnl >= bb.max_lon or \
+                   mxla <= bb.min_lat or mnla >= bb.max_lat:
+                    continue
+            # A4: canonical sort + dedup
+            g = g.assign(_ak=[_attrs_key(a) for a in g["attrs"]])
+            g = g.sort_values(["layer", "kind", "_ak", "object_id"], kind="mergesort")
+            g = g.drop_duplicates(["layer", "kind", "_ak", "object_id"])
+
+            vt_layers = []
+            n_feats = 0
+            ghash = 0
+            for group in layer_order:
+                dicts = mvt.LayerDicts()
+                feats = []
+                for sub in group:
+                    ld = layers_cfg[sub]
+                    if z < ld.minzoom or z > ld.maxzoom:
+                        continue  # F8
+                    rows = g[g["layer"] == sub]
+                    if rows.empty:
+                        continue
+                    tol = ld.simplify_tolerance(z, y)
+                    merged_rows = rows
+                    if cfg.combine_similar:
+                        # A5: same (kind, attrs) run merged into one
+                        # multi-geometry feature (concatenating parts)
+                        merged = []
+                        for (_, _ak), run in rows.groupby(["kind", "_ak"], sort=False):
+                            first = run.iloc[0].copy()
+                            if len(run) > 1 and first["kind"] in (2, 3) and first["geom"] is not None:
+                                bufs = [geompack.unpack(bytes(b)) for b in run["geom"]]
+                                if first["kind"] == 2:
+                                    parts = [p for _, pl in bufs for p in pl]
+                                    first["geom"] = geompack.pack_line(parts)
+                                else:
+                                    polys = [p for _, pl in bufs for p in pl]
+                                    first["geom"] = geompack.pack_polygon(polys)
+                                merged.append(first)
+                            else:
+                                merged.extend(r for _, r in run.iterrows())
+                        merged_rows = pd.DataFrame(merged) if merged else rows.iloc[0:0]
+                    for _, row in merged_rows.iterrows():
+                        res = _encode_feature_geom(row, bb, tol, False)
+                        if res is None:
+                            continue  # F9 / G7 drop
+                        gt, cmds = res
+                        tag_idx = []
+                        for k in sorted(row["attrs"] or {}):
+                            tag_idx.append(dicts.key_index(k))
+                            tag_idx.append(dicts.value_index(row["attrs"][k]))
+                        feats.append(mvt.encode_feature(
+                            gt, cmds, tag_idx,
+                            feature_id=int(row["object_id"]) if cfg.include_ids else None))
+                        n_feats += 1
+                        ghash = (ghash * 1000003 + zlib.crc32(bytes(np.array(cmds, dtype=np.int64))) + gt) & 0x7FFFFFFFFFFFFFFF
+                if feats:
+                    vt_layers.append(mvt.encode_layer(
+                        group[0], feats, dicts.keys, dicts.values,
+                        version=cfg.mvt_version))
+            # NB: the reference writes the tile file even when every layer
+            # filtered out (src/tile_worker.cpp:229-250) — keep the row
+            # with an empty Tile message for exact tile-set parity
+            raw = mvt.encode_tile(vt_layers)
+            data = mvt.compress_tile(raw, use_gzip=cfg.gzip) if cfg.compress else raw
+            out.append({"z": z, "x": x, "y": y, "tile": data,
+                        "feature_count": n_feats,
+                        "geometry_hash": int(ghash),
+                        "raw_bytes": len(raw)})
+        cols = ["z", "x", "y", "tile", "feature_count", "geometry_hash", "raw_bytes"]
+        return pd.DataFrame(out, columns=cols)
+
+    return encode_tiles
+
+
+def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
+    """(z,x,y,...feature rows) -> (z,x,y,tile,...) via grouped pandas UDF."""
+    return assigned.groupBy("z", "x", "y").applyInPandas(make_encoder(cfg), schema=ENCODE_SCHEMA)

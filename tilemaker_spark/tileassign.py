@@ -1,0 +1,93 @@
+"""Base-zoom tile assignment (J5-J9) + zoom rollup (A2/A3).
+
+- Points (J9): pure Catalyst column math — the exact reference formula
+  (src/coordinates.cpp:38-41) expressed as floor((lon/1e7+180)/360*2^z).
+- Lines (J5) / polygons (J5+J6): Arrow-vectorized pandas UDF running the
+  faithful DDA walk + scanline fill (kernels.tilecover), emitting
+  ARRAY<BIGINT> tile ids -> explode. This is the cell-cover +
+  equi-join pattern of the north_rule: the "spatial theta join"
+  becomes an equi-join on tile_id.
+- Rollup (A2/A3): parent tile at zoom z is a shiftright of base-zoom
+  x/y (reference: src/tile_data.cpp:8-55) — partial aggregation free
+  from Catalyst.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from .kernels import geompack, tilecover
+
+
+def point_tile_expr(lon_col, latp_col, zoom: int):
+    """J9 as Catalyst expressions. Matches trunc(ldexp((lon+180)/360, z))
+    for in-range coords (positive -> floor == trunc). Returns (x, y)."""
+    lon = lon_col.cast("double") / 1e7
+    latp = latp_col.cast("double") / 1e7
+    x = F.floor((lon + F.lit(180.0)) * F.lit(1.0 / 360.0) * F.lit(float(1 << zoom))).cast("long")
+    y = F.floor((F.lit(180.0) - latp) * F.lit(1.0 / 360.0) * F.lit(float(1 << zoom))).cast("long")
+    return x, y
+
+
+def _cover_udf(base_zoom: int):
+    @pandas_udf(ArrayType(LongType()))
+    def cover(kind: pd.Series, geom: pd.Series) -> pd.Series:
+        out = []
+        for k, buf in zip(kind, geom):
+            gk, payload = geompack.unpack(bytes(buf))
+            if gk == geompack.KIND_LINE:
+                ids = [tilecover.segment_walk_tiles(lo / 1e7, la / 1e7, base_zoom)
+                       for lo, la in payload]
+                tiles = np.unique(np.concatenate(ids))
+            else:  # polygon: walk every ring, then scanline-fill interior
+                ids = []
+                for rings in payload:
+                    ring_tiles = [tilecover.segment_walk_tiles(lo / 1e7, la / 1e7, base_zoom)
+                                  for lo, la in rings]
+                    ids.append(tilecover.fill_covered_tiles(np.concatenate(ring_tiles)))
+                tiles = np.unique(np.concatenate(ids))
+            out.append(tiles.tolist())
+        return pd.Series(out)
+
+    return cover
+
+
+def assign_base_tiles(features: DataFrame, base_zoom: int = 14) -> DataFrame:
+    """features (assembled) -> one row per (feature x base-zoom tile).
+
+    -> columns: tile_x, tile_y + all feature columns. The explode is the
+    central fan-out; downstream groupBys key on (zoom, x, y).
+    """
+    pts = features.where(F.col("geom").isNull())
+    px, py = point_tile_expr(F.col("lon"), F.col("latp"), base_zoom)
+    pts_assigned = pts.withColumn("tile_x", px).withColumn("tile_y", py)
+
+    geoms = features.where(F.col("geom").isNotNull())
+    cover = _cover_udf(base_zoom)
+    geoms_assigned = (
+        geoms.withColumn("tile_id", F.explode(cover(F.col("kind"), F.col("geom"))))
+        .withColumn("tile_x", F.shiftright("tile_id", 32))
+        .withColumn("tile_y", F.col("tile_id").bitwiseAND(F.lit(0xFFFFFFFF)))
+        .drop("tile_id")
+    )
+    return pts_assigned.unionByName(geoms_assigned)
+
+
+def rollup_to_zoom(base_assigned: DataFrame, zoom: int, base_zoom: int = 14) -> DataFrame:
+    """A2/A3: derive zoom-z tile content from the base-zoom assignment.
+
+    parent x = x >> (bz - z) (reference: src/tile_data.cpp:21-22 divides
+    by 2^(bz-z)). Distinct per feature (a feature covering many base
+    cells appears once per parent tile) — the A4 dedup semantic
+    (src/tile_data.cpp:135).
+    """
+    s = base_zoom - zoom
+    df = base_assigned.withColumn("z", F.lit(zoom)) \
+        .withColumn("x", F.shiftright("tile_x", s)) \
+        .withColumn("y", F.shiftright("tile_y", s))
+    return df.dropDuplicates(["z", "x", "y", "layer", "kind", "elem", "object_id"])
