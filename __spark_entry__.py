@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship query — the full z0-z14 MVT pyramid over the
+sf0.001 documents table (geocode -> classify -> assemble -> tile
+assign -> rollup -> per-tile MVT encode), returning the tiles table.
+
+queries()/oracle_sql(): per-operator correctness pairs (SURVEY.md §2);
+the Spark side runs the real engine code path, the SQL side re-derives
+the answer in DuckDB from first principles.
 """
 
 from __future__ import annotations
@@ -12,27 +14,50 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: z0-z14 MVT pyramid on /root/testdata/sf0.001."""
+    from tilemaker_spark import pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tiles = pipeline.pyramid_df(spark, docs)
+    # drop the raw tile bytes for a stable, comparable schema
+    return tiles.select("z", "x", "y", "feature_count", "geometry_hash", "raw_bytes")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tilemaker_spark import queries_core
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict = {}
+    q.update(queries_core.QUERIES)
+    try:
+        from tilemaker_spark import queries_text
+        q.update(queries_text.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from tilemaker_spark import queries_spatial
+        q.update(queries_spatial.QUERIES)
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tilemaker_spark import queries_core
+
+    o: dict = {}
+    o.update(queries_core.ORACLES)
+    try:
+        from tilemaker_spark import queries_text
+        o.update(queries_text.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from tilemaker_spark import queries_spatial
+        o.update(queries_spatial.ORACLES)
+    except ImportError:
+        pass
+    return o

@@ -87,13 +87,30 @@ def build_features(nodes: DataFrame, ways: DataFrame, relations: DataFrame) -> D
                                       node_feats, way_feats, rel_feats)
 
 
+def pyramid_df(spark: SparkSession, docs: DataFrame, cfg: Config | None = None,
+               zooms: list | None = None) -> DataFrame:
+    """Lazy end-to-end pyramid: documents -> tiles DataFrame, no
+    checkpoint writes — one declarative plan for Catalyst to optimize
+    whole (used by entry()/bench; run_pyramid adds resumability)."""
+    cfg = cfg or default_config()
+    zooms = zooms if zooms is not None else list(range(cfg.minzoom, cfg.maxzoom + 1))
+    nodes, ways, relations = build_stores(spark, docs)
+    features = build_features(nodes, ways, relations)
+    assigned = tileassign.assign_base_tiles(features, cfg.basezoom)
+    rolled = tileassign.rollup_all_zooms(assigned, zooms, cfg.basezoom)
+    return encode_zoom(rolled, cfg)
+
+
 def run_pyramid(spark: SparkSession, docs: DataFrame, out_dir: str,
                 cfg: Config | None = None, zooms: list | None = None,
-                resume: bool = True) -> DataFrame:
+                resume: bool = True, per_zoom_stages: bool = False) -> DataFrame:
     """Full z pyramid -> tiles DataFrame (z,x,y,tile,feature_count,...).
 
     Writes checkpoints under ``out_dir`` and returns the union tiles DF
     (read back from the checkpoint parquet — stable for downstream use).
+    ``per_zoom_stages=True`` checkpoints each zoom separately (finer
+    resume granularity at the cost of re-scanning the base table per
+    zoom); the default fuses all zooms into one rollup+encode job.
     """
     cfg = cfg or default_config()
     zooms = zooms if zooms is not None else list(range(cfg.minzoom, cfg.maxzoom + 1))
@@ -119,19 +136,33 @@ def run_pyramid(spark: SparkSession, docs: DataFrame, out_dir: str,
         _lineage(spark, spark.read.parquet(base_path), "base_tiles", metrics_dir)
     base_assigned = spark.read.parquet(base_path)
 
-    # ---- stage 3: per-zoom rollup + encode (resumable per zoom)
-    tile_paths = []
-    for z in zooms:
-        zpath = os.path.join(out_dir, f"stage_tiles_z{z}")
-        tile_paths.append(zpath)
-        if resume and _stage_done(zpath):
-            continue
-        rolled = tileassign.rollup_to_zoom(base_assigned, z, cfg.basezoom)
-        tiles = encode_zoom(rolled, cfg)
-        _write_stage(tiles, zpath)
-        _lineage(spark, spark.read.parquet(zpath), f"tiles_z{z}", metrics_dir, hash_col="geometry_hash")
+    # ---- stage 3: rollup + encode
+    if per_zoom_stages:
+        # one resumable stage per zoom level (north_rule) — the shape a
+        # week-long 100 TB run wants: a failed z re-runs alone.
+        tile_paths = []
+        for z in zooms:
+            zpath = os.path.join(out_dir, f"stage_tiles_z{z}")
+            tile_paths.append(zpath)
+            if resume and _stage_done(zpath):
+                continue
+            rolled = tileassign.rollup_to_zoom(base_assigned, z, cfg.basezoom)
+            tiles = encode_zoom(rolled, cfg)
+            _write_stage(tiles, zpath)
+            _lineage(spark, spark.read.parquet(zpath), f"tiles_z{z}", metrics_dir,
+                     hash_col="geometry_hash")
+        return spark.read.parquet(*tile_paths)
 
-    return spark.read.parquet(*tile_paths)
+    # fused path (default): the whole pyramid in one job — one scan of
+    # the base table, map-side-combined dedup, one encode shuffle.
+    tiles_path = os.path.join(out_dir, "stage_tiles")
+    if not (resume and _stage_done(tiles_path)):
+        rolled = tileassign.rollup_all_zooms(base_assigned, zooms, cfg.basezoom)
+        tiles = encode_zoom(rolled, cfg)
+        _write_stage(tiles, tiles_path, partition_by=["z"])
+        _lineage(spark, spark.read.parquet(tiles_path), "tiles", metrics_dir,
+                 hash_col="geometry_hash")
+    return spark.read.parquet(tiles_path)
 
 
 # ------------------------------------------------------------------ sinks

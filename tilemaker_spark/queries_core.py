@@ -1,0 +1,438 @@
+"""Core relational queries + DuckDB oracle SQL (driver correctness gate).
+
+Each entry here exists twice: a Spark-side callable running the real
+engine code path (geocode -> classify -> assemble -> assign), and an
+ANSI-SQL string that re-derives the same answer in DuckDB from first
+principles (the geocoder is pure integer arithmetic — SURVEY.md §0.1 —
+so every relational operator has a closed-form SQL oracle).
+
+Column names and types are aligned pairwise: the driver's compare
+sorts columns by name and hashes values.
+
+Operators covered (SURVEY.md §2): F1/F2/F4/F5/F6 (classification),
+J1 (way→node join), J3 (ways-in-relation semi-join), J9 (point tile
+assignment), A1 (tile groupBy), A2 (zoom rollup), A7 (measures),
+U1/U3 (union/distinct), J2 (relation assembly — ring/poly counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import assemble, classify, geocode
+
+# ---------------------------------------------------------------- loaders
+
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _stores(spark: SparkSession, sf_dir: str):
+    return geocode.geocode(load_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------- Spark-side queries
+
+def q_geocode_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = _stores(spark, sf_dir)
+    return nodes.select("node_id", "lon", "latp")
+
+
+def q_geocode_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, ways, _ = _stores(spark, sf_dir)
+    return ways.select(
+        "way_id",
+        F.size("refs").alias("n_refs"),
+        F.aggregate("refs", F.lit(0).cast("long"), lambda a, x: a + x).alias("refs_sum"),
+        F.element_at("refs", 1).alias("first_ref"),
+        F.element_at("refs", -1).alias("last_ref"),
+        (F.element_at("refs", 1) == F.element_at("refs", -1)).alias("is_closed"),
+    )
+
+
+def q_geocode_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, rels = _stores(spark, sf_dir)
+    return rels.select(
+        "rel_id",
+        F.size("outer_refs").alias("n_outer"),
+        F.size("inner_refs").alias("n_inner"),
+        F.element_at("tags", "type").alias("rel_type"),
+    )
+
+
+def q_classify_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, ways, rels = _stores(spark, sf_dir)
+    nf = classify.classify_nodes(nodes).select("object_id", "elem", "layer", "kind", "attrs")
+    wf = classify.classify_ways(ways).select("object_id", "elem", "layer", "kind", "attrs")
+    rf = classify.classify_relations(rels).select("object_id", "elem", "layer", "kind", "attrs")
+    feats = nf.unionByName(wf).unionByName(rf)  # U1
+    return feats.select(
+        "object_id", "elem", "layer", "kind",
+        F.element_at("attrs", "class").alias("cls"),
+        F.element_at("attrs", "name").alias("name"),
+    )
+
+
+def q_j1_way_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: way→node equi-join with order restoration (assemble.ways_with_coords)."""
+    nodes, ways, _ = _stores(spark, sf_dir)
+    wc = assemble.ways_with_coords(ways, nodes)
+    return wc.select(
+        "way_id",
+        F.size("refs").alias("n_pts"),
+        F.aggregate("lons", F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_lon"),
+        F.aggregate("latps", F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_latp"),
+        F.element_at("lons", 1).cast("long").alias("first_lon"),
+        F.element_at("latps", -1).cast("long").alias("last_latp"),
+    )
+
+
+def q_j3_ways_in_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left-semi join marking ways referenced by any relation
+    (reference: src/read_pbf.cpp:221-233)."""
+    _, ways, rels = _stores(spark, sf_dir)
+    members = rels.select(F.explode(F.concat("outer_refs", "inner_refs")).alias("way_id"))
+    return ways.join(members, "way_id", "left_semi").select("way_id")
+
+
+def q_j9_point_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: point → z14 tile, pure Catalyst column math
+    (reference: src/coordinates.cpp:38-41)."""
+    from .tileassign import point_tile_expr
+    nodes, _, _ = _stores(spark, sf_dir)
+    feats = classify.classify_nodes(nodes)
+    x, y = point_tile_expr(F.col("lon"), F.col("latp"), 14)
+    return feats.select("object_id", "layer", x.alias("x"), y.alias("y"))
+
+
+def q_a1_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: groupBy(tile) — the central shuffle aggregation."""
+    df = q_j9_point_tiles(spark, sf_dir)
+    return df.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_features"))
+
+
+def q_a2_rollup_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: zoom rollup z14 → z6 by shiftright (reference: src/tile_data.cpp:8-27)."""
+    df = q_j9_point_tiles(spark, sf_dir)
+    return (df.select("object_id", F.shiftright("x", 8).alias("x"),
+                      F.shiftright("y", 8).alias("y"))
+              .distinct()                               # U3 set semantics
+              .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_objects")))
+
+
+def q_a7_poly_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 Area(): exact integer shoelace (×2) over closed simple-polygon
+    ways — fixed-point int math keeps the oracle comparison exact
+    (reference: src/osm_lua_processing.cpp:143-156)."""
+    nodes, ways, _ = _stores(spark, sf_dir)
+    wc = assemble.ways_with_coords(ways, nodes)
+    closed = wc.where(F.element_at("refs", 1) == F.element_at("refs", -1))
+    shoelace = F.aggregate(
+        F.sequence(F.lit(1), F.size("lons") - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.element_at("lons", i).cast("long") * F.element_at("latps", i + 1).cast("long")
+        - F.element_at("lons", i + 1).cast("long") * F.element_at("latps", i).cast("long"),
+    )
+    return closed.select("way_id", F.abs(shoelace).alias("area2"))
+
+
+def q_a7_line_len2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 Length() skeleton: exact integer sum of squared segment lengths
+    over open (line) ways — order-sensitive array arithmetic in Catalyst."""
+    nodes, ways, _ = _stores(spark, sf_dir)
+    wc = assemble.ways_with_coords(ways, nodes)
+    open_ways = wc.where(F.element_at("refs", 1) != F.element_at("refs", -1))
+    len2 = F.aggregate(
+        F.sequence(F.lit(1), F.size("lons") - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + (F.element_at("lons", i + 1).cast("long") - F.element_at("lons", i).cast("long"))
+        * (F.element_at("lons", i + 1).cast("long") - F.element_at("lons", i).cast("long"))
+        + (F.element_at("latps", i + 1).cast("long") - F.element_at("latps", i).cast("long"))
+        * (F.element_at("latps", i + 1).cast("long") - F.element_at("latps", i).cast("long")),
+    )
+    return open_ways.select("way_id", len2.alias("sum_seg_len2"))
+
+
+def q_u1_layer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 multi-source union + per-layer aggregation."""
+    feats = q_classify_features(spark, sf_dir)
+    return feats.groupBy("layer", "elem").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_j2_relation_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: multipolygon ring assembly — verifies the stitcher produced
+    the expected polygon/ring structure per relation
+    (reference: include/osm_store.h:172-256)."""
+    import pandas as pd
+    from .kernels import geompack
+
+    nodes, ways, rels = _stores(spark, sf_dir)
+    rf = classify.classify_relations(rels)
+    wc = assemble.ways_with_coords(ways, nodes)
+    geoms = assemble.assemble_relation_geometries(rf, rels, wc)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_polys:int, n_rings:int, outer_pts:int>")
+    def ring_stats(geom):
+        rows = []
+        for buf in geom:
+            _, polys = geompack.unpack(bytes(buf))
+            rows.append({
+                "n_polys": len(polys),
+                "n_rings": sum(len(r) for r in polys),
+                "outer_pts": len(polys[0][0][0]) if polys else 0,
+            })
+        return pd.DataFrame(rows)
+
+    return (geoms.withColumn("s", ring_stats("geom"))
+            .select(F.col("object_id").alias("rel_id"), "layer",
+                    F.col("s.n_polys").alias("n_polys"),
+                    F.col("s.n_rings").alias("n_rings"),
+                    F.col("s.outer_pts").alias("outer_pts")))
+
+
+# ------------------------------------------------------------- oracle SQL
+# Shared CTE prefix re-deriving the geocode stores in DuckDB from the
+# documents table (pure integer arithmetic — mirrors geocode.py 1:1).
+
+GEOCODE_CTE = """
+WITH seeds0 AS (
+  SELECT doc_id AS d, (doc_id * 2654435761) % 4294967296 AS h FROM documents
+),
+seeds AS (
+  SELECT d, h, k, (h + k*1013904223) % 4294967296 AS hk
+  FROM seeds0, (SELECT unnest(range(3)) AS k) ks
+  WHERE k < h % 4
+),
+s2 AS (
+  SELECT d, k, hk,
+    ((hk // 64) * 2654435761 + 40503) % 4294967296 AS h2,
+    hk % 3 AS kind,
+    CAST(94710000 + (hk % 1630)*1000 AS BIGINT) AS lon0,
+    CAST(534600000 + ((hk // 7) % 3200)*1000 AS BIGINT) AS latp0,
+    d*256 + k*32 AS nid0,
+    d*8 + k*2 AS wid0,
+    d*8 + k AS rid
+  FROM seeds
+),
+lines AS (
+  SELECT *, CAST(4 + h2 % 9 AS INT) AS nv,
+    CASE WHEN h2 % 3 = 1 AND (h2 // 3) % 3 = 1 THEN 4000
+         ELSE ((h2 % 3) - 1) * 4000 END AS sx,
+    (((h2 // 3) % 3) - 1) * 4000 AS sy
+  FROM s2 WHERE kind = 1
+),
+polys AS (
+  SELECT *, CAST(2000 + h2 % 8000 AS BIGINT) AS r FROM s2 WHERE kind = 2
+),
+oct AS (
+  SELECT [1,1,0,-1,-1,-1,0,1] AS dx, [0,1,1,1,0,-1,-1,-1] AS dy
+),
+all_nodes AS (
+  SELECT nid0 AS node_id, CAST(lon0 AS INT) AS lon, CAST(latp0 AS INT) AS latp
+  FROM s2 WHERE kind = 0
+  UNION ALL
+  SELECT nid0 + j,
+    CAST(lon0 + j*sx + ((hk*(j+1)) % 7)*500 AS INT),
+    CAST(latp0 + j*sy + ((hk*(j+2)) % 5)*500 AS INT)
+  FROM (SELECT *, unnest(range(nv)) AS j FROM lines)
+  UNION ALL
+  SELECT nid0 + j,
+    CAST(lon0 + dx[CAST(j+1 AS INT)]*r AS INT),
+    CAST(latp0 + dy[CAST(j+1 AS INT)]*r AS INT)
+  FROM (SELECT *, unnest(range(8)) AS j FROM polys), oct
+  UNION ALL
+  SELECT nid0 + 8 + j,
+    CAST(lon0 + dx[CAST(j+1 AS INT)]*(r // 3) AS INT),
+    CAST(latp0 + dy[CAST(j+1 AS INT)]*(r // 3) AS INT)
+  FROM (SELECT *, unnest(range(8)) AS j FROM polys WHERE h2 % 16 = 0), oct
+),
+way_pts AS (
+  -- line ways
+  SELECT wid0 AS way_id,
+    list_transform(range(nv), j -> nid0 + j) AS refs,
+    list_transform(range(nv), j -> lon0 + j*sx + ((hk*(j+1)) % 7)*500) AS lons,
+    list_transform(range(nv), j -> latp0 + j*sy + ((hk*(j+2)) % 5)*500) AS latps
+  FROM lines
+  UNION ALL
+  -- simple closed polygon ways (ring of 9, closing vertex repeats j=0)
+  SELECT wid0,
+    list_append(list_transform(range(8), j -> nid0 + j), nid0),
+    list_append(list_transform(range(8), j -> lon0 + dx[CAST(j+1 AS INT)]*r), lon0 + r),
+    list_append(list_transform(range(8), j -> latp0 + dy[CAST(j+1 AS INT)]*r), latp0)
+  FROM polys, oct WHERE h2 % 8 <> 0
+  UNION ALL
+  -- relation outer half A: octagon vertices 0..4
+  SELECT wid0,
+    list_transform(range(5), j -> nid0 + j),
+    list_transform(range(5), j -> lon0 + dx[CAST(j+1 AS INT)]*r),
+    list_transform(range(5), j -> latp0 + dy[CAST(j+1 AS INT)]*r)
+  FROM polys, oct WHERE h2 % 8 = 0
+  UNION ALL
+  -- relation outer half B: vertices 4..7 then 0
+  SELECT wid0 + 1,
+    list_append(list_transform(range(4), j -> nid0 + 4 + j), nid0),
+    list_append(list_transform(range(4), j -> lon0 + dx[CAST(j+5 AS INT)]*r), lon0 + r),
+    list_append(list_transform(range(4), j -> latp0 + dy[CAST(j+5 AS INT)]*r), latp0)
+  FROM polys, oct WHERE h2 % 8 = 0
+  UNION ALL
+  -- inner-hole ring ways (ids offset by 2^40)
+  SELECT wid0 + 1099511627776,
+    list_append(list_transform(range(8), j -> nid0 + 8 + j), nid0 + 8),
+    list_append(list_transform(range(8), j -> lon0 + dx[CAST(j+1 AS INT)]*(r // 3)), lon0 + (r // 3)),
+    list_append(list_transform(range(8), j -> latp0 + dy[CAST(j+1 AS INT)]*(r // 3)), latp0)
+  FROM polys, oct WHERE h2 % 16 = 0
+),
+rels AS (
+  SELECT rid AS rel_id, wid0, h2,
+    2 AS n_outer,
+    CASE WHEN h2 % 16 = 0 THEN 1 ELSE 0 END AS n_inner
+  FROM polys WHERE h2 % 8 = 0
+),
+node_feats AS (
+  SELECT nid0 AS object_id, 'node' AS elem,
+    CASE WHEN h2 % 6 = 4 THEN 'place' ELSE 'poi' END AS layer,
+    1 AS kind,
+    (['cafe','school','bakery','supermarket','town','bank'])[CAST(h2 % 6 AS INT)+1] AS cls,
+    'poi-' || d || '-' || k AS name,
+    CAST(lon0 AS INT) AS lon, CAST(latp0 AS INT) AS latp
+  FROM s2 WHERE kind = 0
+),
+way_feats AS (
+  SELECT wid0 AS object_id, 'way' AS elem,
+    CASE WHEN h2 % 5 = 0 THEN 'waterway' ELSE 'transportation' END AS layer,
+    2 AS kind,
+    CASE WHEN h2 % 5 = 0 THEN 'stream'
+         ELSE (['primary','secondary','residential','track'])[CAST(h2 % 4 AS INT)+1] END AS cls,
+    CAST(NULL AS VARCHAR) AS name
+  FROM lines
+  UNION ALL
+  SELECT wid0, 'way',
+    (['building','water','landcover'])[CAST(h2 % 3 AS INT)+1], 3,
+    ([CAST(NULL AS VARCHAR),'water','forest'])[CAST(h2 % 3 AS INT)+1],
+    CAST(NULL AS VARCHAR)
+  FROM polys WHERE h2 % 8 <> 0
+),
+rel_feats AS (
+  SELECT rid AS object_id, 'relation' AS elem,
+    (['building','water','landcover'])[CAST(h2 % 3 AS INT)+1] AS layer,
+    3 AS kind,
+    ([CAST(NULL AS VARCHAR),'water','forest'])[CAST(h2 % 3 AS INT)+1] AS cls,
+    CAST(NULL AS VARCHAR) AS name
+  FROM polys WHERE h2 % 8 = 0
+),
+point_tiles AS (
+  SELECT object_id, layer,
+    CAST(floor((CAST(lon AS DOUBLE)/10000000.0 + 180.0) * (1.0/360.0) * 16384.0) AS BIGINT) AS x,
+    CAST(floor((180.0 - CAST(latp AS DOUBLE)/10000000.0) * (1.0/360.0) * 16384.0) AS BIGINT) AS y
+  FROM node_feats
+)
+"""
+
+
+ORACLES = {
+    "geocode_nodes": GEOCODE_CTE + """
+SELECT node_id, lon, latp FROM all_nodes
+""",
+    "geocode_ways": GEOCODE_CTE + """
+SELECT way_id,
+  CAST(len(refs) AS INT) AS n_refs,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), refs), (a,b) -> a + b) AS BIGINT) AS refs_sum,
+  refs[1] AS first_ref,
+  refs[-1] AS last_ref,
+  refs[1] = refs[-1] AS is_closed
+FROM way_pts
+""",
+    "geocode_relations": GEOCODE_CTE + """
+SELECT rel_id, n_outer AS n_outer, n_inner AS n_inner,
+  'multipolygon' AS rel_type
+FROM rels
+""",
+    "classify_features": GEOCODE_CTE + """
+SELECT object_id, elem, layer, kind, cls, name FROM node_feats
+UNION ALL
+SELECT object_id, elem, layer, kind, cls, name FROM way_feats
+UNION ALL
+SELECT object_id, elem, layer, kind, cls, name FROM rel_feats
+""",
+    "j1_way_coords": GEOCODE_CTE + """
+SELECT way_id,
+  CAST(len(refs) AS INT) AS n_pts,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lons), (a,b) -> a + b) AS BIGINT) AS sum_lon,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), latps), (a,b) -> a + b) AS BIGINT) AS sum_latp,
+  CAST(lons[1] AS BIGINT) AS first_lon,
+  CAST(latps[-1] AS BIGINT) AS last_latp
+FROM way_pts
+""",
+    "j3_ways_in_relation": GEOCODE_CTE + """
+SELECT wid0 AS way_id FROM rels
+UNION ALL SELECT wid0 + 1 FROM rels
+UNION ALL SELECT wid0 + 1099511627776 FROM rels WHERE h2 % 16 = 0
+""",
+    "j9_point_tiles": GEOCODE_CTE + """
+SELECT object_id, layer, x, y FROM point_tiles
+""",
+    "a1_tile_counts": GEOCODE_CTE + """
+SELECT x, y, count(*) AS n_features FROM point_tiles GROUP BY x, y
+""",
+    "a2_rollup_z6": GEOCODE_CTE + """
+SELECT x // 256 AS x, y // 256 AS y, count(DISTINCT object_id) AS n_objects
+FROM point_tiles GROUP BY 1, 2
+""",
+    "a7_poly_area": GEOCODE_CTE + """
+SELECT way_id,
+  abs(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, CAST(len(lons) AS INT)),
+                     i -> lons[i]*latps[i+1] - lons[i+1]*latps[i])),
+      (a,b) -> a + b) AS BIGINT)) AS area2
+FROM way_pts WHERE refs[1] = refs[-1]
+""",
+    "a7_line_len2": GEOCODE_CTE + """
+SELECT way_id,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, CAST(len(lons) AS INT)),
+                     i -> (lons[i+1]-lons[i])*(lons[i+1]-lons[i])
+                        + (latps[i+1]-latps[i])*(latps[i+1]-latps[i]))),
+      (a,b) -> a + b) AS BIGINT) AS sum_seg_len2
+FROM way_pts WHERE refs[1] <> refs[-1]
+""",
+    "u1_layer_counts": GEOCODE_CTE + """
+SELECT layer, elem, count(*) AS n FROM (
+  SELECT layer, elem FROM node_feats
+  UNION ALL SELECT layer, elem FROM way_feats
+  UNION ALL SELECT layer, elem FROM rel_feats
+) GROUP BY layer, elem
+""",
+    "j2_relation_rings": GEOCODE_CTE + """
+SELECT rel_id,
+  (['building','water','landcover'])[CAST(h2 % 3 AS INT)+1] AS layer,
+  1 AS n_polys,
+  CAST(1 + n_inner AS INT) AS n_rings,
+  -- stitched outer = half1(5) ++ half2(5) keeping the duplicate shared
+  -- node, exactly like the reference's ot->insert(end, begin, end)
+  -- (include/osm_store.h:206-208)
+  10 AS outer_pts
+FROM rels
+""",
+}
+
+
+QUERIES = {
+    "geocode_nodes": q_geocode_nodes,
+    "geocode_ways": q_geocode_ways,
+    "geocode_relations": q_geocode_relations,
+    "classify_features": q_classify_features,
+    "j1_way_coords": q_j1_way_coords,
+    "j3_ways_in_relation": q_j3_ways_in_relation,
+    "j9_point_tiles": q_j9_point_tiles,
+    "a1_tile_counts": q_a1_tile_counts,
+    "a2_rollup_z6": q_a2_rollup_z6,
+    "a7_poly_area": q_a7_poly_area,
+    "a7_line_len2": q_a7_line_len2,
+    "u1_layer_counts": q_u1_layer_counts,
+    "j2_relation_rings": q_j2_relation_rings,
+}

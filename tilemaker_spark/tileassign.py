@@ -91,3 +91,24 @@ def rollup_to_zoom(base_assigned: DataFrame, zoom: int, base_zoom: int = 14) -> 
         .withColumn("x", F.shiftright("tile_x", s)) \
         .withColumn("y", F.shiftright("tile_y", s))
     return df.dropDuplicates(["z", "x", "y", "layer", "kind", "elem", "object_id"])
+
+
+def rollup_all_zooms(base_assigned: DataFrame, zooms: list, base_zoom: int = 14) -> DataFrame:
+    """A2/A3 for the whole pyramid in ONE pass over the base table.
+
+    explode(zooms) fans each base-cell row out to every requested zoom,
+    shiftright derives the parent tile, and dropDuplicates — which
+    Catalyst executes as partial+final HashAggregate — removes the
+    per-parent duplicate blowup MAP-SIDE, before the shuffle. At z0 a
+    feature covering 10^4 base cells collapses to one row per mapper
+    partition instead of 10^4 shuffled rows; this is what makes the
+    low-zoom levels survive a 100× scale-up. (The reference re-derives
+    each zoom from the base index too: src/tile_data.cpp:8-55, but
+    serially per zoom.)
+    """
+    zoom_arr = F.array(*[F.lit(int(z)) for z in zooms])
+    df = (base_assigned
+          .withColumn("z", F.explode(zoom_arr))
+          .withColumn("x", F.expr(f"shiftright(tile_x, {base_zoom} - z)"))
+          .withColumn("y", F.expr(f"shiftright(tile_y, {base_zoom} - z)")))
+    return df.dropDuplicates(["z", "x", "y", "layer", "kind", "elem", "object_id"])
