@@ -1,0 +1,142 @@
+"""End-to-end pyramid + extract-invariant + sink tests (Spark-level)."""
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").where(F.col("doc_id") < 120)
+
+
+@pytest.fixture(scope="module")
+def tiles(spark, docs):
+    from tilemaker_spark import pipeline
+
+    return pipeline.pyramid_df(spark, docs, zooms=[14, 12, 6]).cache()
+
+
+def test_extract_invariant(spark):
+    """input_hint per-row invariant: extracted text byte-identical per
+    url between the Catalyst extractor and the pure-Python reference."""
+    from tilemaker_spark import extract, fixtures
+
+    path = "/tmp/docs_html.parquet"
+    fixtures.write_documents_parquet(path, 200)
+    docs = spark.read.parquet(path)
+    extracted = extract.with_extracted_text(docs.drop("text"))
+    rows = extracted.select("url", "html", "text").collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert r["text"] == extract.extract_text_py(bytes(r["html"])), r["url"]
+    # and equals the golden column the fixture wrote
+    golden = {r["url"]: r["text"] for r in docs.select("url", "text").collect()}
+    for r in rows:
+        assert r["text"] == golden[r["url"]]
+
+
+def test_pyramid_structure(tiles):
+    rows = tiles.collect()
+    assert len(rows) > 0
+    zs = {r["z"] for r in rows}
+    assert zs == {14, 12, 6}
+    for r in rows:
+        assert 0 <= r["x"] < (1 << r["z"])
+        assert 0 <= r["y"] < (1 << r["z"])
+        assert r["feature_count"] >= 0
+        assert len(bytes(r["tile"])) >= 0
+
+
+def test_pyramid_rollup_consistency(tiles):
+    """Every z14 tile's parent at z12/z6 exists (A2/A3 semantics)."""
+    rows = tiles.collect()
+    by_z = {}
+    for r in rows:
+        by_z.setdefault(r["z"], set()).add((r["x"], r["y"]))
+    for x, y in by_z[14]:
+        assert (x >> 2, y >> 2) in by_z[12]
+        assert (x >> 8, y >> 8) in by_z[6]
+
+
+def test_tiles_gzip_mvt(tiles):
+    """Tiles decompress and parse as MVT protobuf (independent parser)."""
+    r = tiles.where((F.col("z") == 14) & (F.col("feature_count") > 0)).first()
+    assert r is not None
+    raw = gzip.decompress(bytes(r["tile"]))
+
+    def varint(buf, i):
+        out = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            out |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                return out, i
+
+    i = 0
+    layers = 0
+    while i < len(raw):
+        key, i = varint(raw, i)
+        assert key >> 3 == 3 and key & 7 == 2  # Tile.layers, len-delim
+        ln, i = varint(raw, i)
+        i += ln
+        layers += 1
+    assert layers >= 1
+
+
+def test_run_pyramid_resume(spark, docs, tmp_path):
+    from tilemaker_spark import pipeline
+
+    out = str(tmp_path / "pyr")
+    t1 = pipeline.run_pyramid(spark, docs, out, zooms=[14, 13])
+    n1 = t1.count()
+    assert n1 > 0
+    # resumability: a re-run must reuse completed stages (no recompute)
+    feat_mtime = os.path.getmtime(os.path.join(out, "stage_features", "_SUCCESS"))
+    t2 = pipeline.run_pyramid(spark, docs, out, zooms=[14, 13])
+    assert t2.count() == n1
+    assert os.path.getmtime(os.path.join(out, "stage_features", "_SUCCESS")) == feat_mtime
+    # lineage metrics written (north_rule)
+    lin = os.path.join(out, "_lineage")
+    assert os.path.exists(os.path.join(lin, "metrics_features.json"))
+    assert os.path.exists(os.path.join(lin, "metrics_tiles.json"))
+
+
+def test_mbtiles_sink(spark, tiles, tmp_path):
+    import sqlite3
+
+    from tilemaker_spark import pipeline
+
+    path = str(tmp_path / "out.mbtiles")
+    pipeline.write_mbtiles(tiles, path)
+    con = sqlite3.connect(path)
+    n = con.execute("SELECT count(*) FROM tiles").fetchone()[0]
+    assert n == tiles.count()
+    # TMS y-flip (reference: src/mbtiles.cpp:29)
+    z, x, y = tiles.select("z", "x", "y").first()
+    flipped = (1 << z) - 1 - y
+    got = con.execute(
+        "SELECT count(*) FROM tiles WHERE zoom_level=? AND tile_column=? AND tile_row=?",
+        (z, x, flipped)).fetchone()[0]
+    assert got == 1
+    meta = dict(con.execute("SELECT name, value FROM metadata").fetchall())
+    assert meta["format"] == "pbf"
+    con.close()
+
+
+def test_file_sink(spark, tiles, tmp_path):
+    from tilemaker_spark import pipeline
+
+    out = str(tmp_path / "files")
+    pipeline.write_tile_files(tiles, out)
+    r = tiles.first()
+    p = os.path.join(out, str(r["z"]), str(r["x"]), f"{r['y']}.pbf")
+    assert os.path.exists(p)
+    assert open(p, "rb").read() == bytes(r["tile"])
