@@ -1,0 +1,96 @@
+"""Spatial join / kNN / raster<->vector queries + DuckDB oracles.
+
+The Spark side runs the general engine (Morton cell equi-join +
+vectorized ray-casting; ring-expansion kNN with certified fallback).
+The oracles are closed-form: districts are diamonds on a grid, so
+point-in-polygon is an exact integer inequality, and kNN distances are
+exact int64 — no floating-point ambiguity anywhere.
+"""
+
+from __future__ import annotations
+
+from . import spatial
+from .queries_core import GEOCODE_CTE
+
+
+def q_spatial_join_pip(spark, sf_dir):
+    return spatial.poi_district_join(spark, sf_dir)
+
+
+def q_knn_places(spark, sf_dir):
+    return spatial.poi_knn(spark, sf_dir)
+
+
+def q_rasterize_z12(spark, sf_dir):
+    return spatial.rasterize_points(spatial._points(spark, sf_dir))
+
+
+def q_vectorize_cells(spark, sf_dir):
+    return spatial.vectorize_raster(
+        spatial.rasterize_points(spatial._points(spark, sf_dir)))
+
+
+QUERIES = {
+    "spatial_join_pip": q_spatial_join_pip,
+    "knn_places": q_knn_places,
+    "rasterize_z12": q_rasterize_z12,
+    "vectorize_cells": q_vectorize_cells,
+}
+
+
+_DISTRICT_CTE = """
+, districts AS (
+  SELECT gx*100 + gy AS district_id,
+         94750000 + gx*400000 AS cx,
+         534700000 + gy*400000 AS cy
+  FROM (SELECT unnest(range(4)) AS gx), (SELECT unnest(range(8)) AS gy)
+)
+"""
+
+_RASTER_CTE = """
+, raster AS (
+  SELECT
+    CAST(floor((CAST(lon AS DOUBLE)/10000000.0 + 180.0) * (1.0/360.0) * 4096.0) AS BIGINT) AS x,
+    CAST(floor((180.0 - CAST(latp AS DOUBLE)/10000000.0) * (1.0/360.0) * 4096.0) AS BIGINT) AS y,
+    CAST(floor((CAST(lon AS DOUBLE)/10000000.0 + 180.0) * (1.0/360.0) * 65536.0) AS BIGINT) % 16 AS px,
+    CAST(floor((180.0 - CAST(latp AS DOUBLE)/10000000.0) * (1.0/360.0) * 65536.0) AS BIGINT) % 16 AS py,
+    count(*) AS n
+  FROM node_feats
+  GROUP BY 1, 2, 3, 4
+)
+"""
+
+
+ORACLES = {
+    "spatial_join_pip": GEOCODE_CTE + _DISTRICT_CTE + f"""
+SELECT f.object_id, f.layer, d.district_id
+FROM node_feats f JOIN districts d
+  ON abs(CAST(f.lon AS BIGINT) - d.cx) + abs(CAST(f.latp AS BIGINT) - d.cy) < {spatial.DIST_R}
+""",
+    "knn_places": GEOCODE_CTE + """
+, q AS (SELECT object_id, lon, latp FROM node_feats WHERE layer = 'poi'),
+p AS (SELECT object_id AS place_id, lon, latp FROM node_feats WHERE layer = 'place'),
+sc AS (
+  SELECT q.object_id, p.place_id,
+    (CAST(q.lon AS BIGINT) - p.lon) * (CAST(q.lon AS BIGINT) - p.lon)
+    + (CAST(q.latp AS BIGINT) - p.latp) * (CAST(q.latp AS BIGINT) - p.latp) AS dist2
+  FROM q, p
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY object_id ORDER BY dist2, place_id) AS rank
+  FROM sc
+)
+SELECT object_id, place_id, dist2, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+""",
+    "rasterize_z12": GEOCODE_CTE + _RASTER_CTE + """
+SELECT 12 AS z, x, y, px, py, n FROM raster
+""",
+    "vectorize_cells": GEOCODE_CTE + _RASTER_CTE + """
+SELECT 12 AS z, x, y, px, py, n,
+  (x*16 + px) * (360.0/65536.0) - 180.0 AS min_lon,
+  (x*16 + px + 1) * (360.0/65536.0) - 180.0 AS max_lon,
+  180.0 - (y*16 + py + 1) * (360.0/65536.0) AS min_latp,
+  180.0 - (y*16 + py) * (360.0/65536.0) AS max_latp
+FROM raster WHERE n >= 2
+""",
+}

@@ -1,0 +1,309 @@
+"""Spatial join + kNN + raster<->vector (J4 family, north_rule).
+
+The reference answers Intersects()/FindIntersecting() with a per-layer
+boost R-tree + exact refine (src/shp_mem_tiles.cpp:26-57). At 10^12
+rows an in-process tree is impossible, so the engine uses the
+cell-index equi-join pattern (BASELINE.json north_rule):
+
+  1. encode points to Morton (z-order) cells at CELL_ZOOM — pure
+     Catalyst bit math (JVM, whole-stage codegen);
+  2. cover each polygon with cells — batched numpy in an
+     Arrow-vectorized pandas UDF, plus STRtree-style sorted Morton
+     ranges for index compactness;
+  3. equi-join points to polygon cover cells (broadcast when the
+     polygon side is small, shuffle hash join otherwise);
+  4. refine with prepared vectorized ray-casting (numpy, one batch per
+     Arrow page — no per-row Python).
+
+kNN is exact: cell-ring candidate expansion (5x5 window equi-join) +
+a provable safe-radius test; queries whose k-th candidate cannot be
+certified inside the window fall back to a broadcast brute-force pass,
+so results equal true kNN always (the DuckDB oracle is plain
+brute-force SQL).
+
+Reference layer: deterministic "district" diamonds over the geocode
+bbox — |dx|*r + |dy|*r compares stay in exact int64, so the oracle is
+closed-form integer SQL while the Spark side exercises the general
+ray-cast kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import classify, geocode
+from .kernels import geomops
+
+CELL_ZOOM = 16          # join-cell resolution (point-in-polygon)
+KNN_CELL_ZOOM = 13      # coarser cells for kNN ring expansion
+KNN_K = 3
+KNN_RING = 2            # 5x5 window
+
+# district grid (fixed-point 1e7 coords, inside the geocoder bbox)
+DIST_X0 = 94750000
+DIST_Y0 = 534700000
+DIST_PITCH = 400000
+DIST_NX = 4
+DIST_NY = 8
+DIST_R = 173333         # not a multiple of 1000 -> no grid point on edges
+
+
+# ------------------------------------------------------------- cell codes
+
+def morton_interleave_np(x: np.ndarray, y: np.ndarray, bits: int) -> np.ndarray:
+    """Vectorized Morton code (x even bits, y odd bits)."""
+    out = np.zeros(len(x), dtype=np.int64)
+    x = x.astype(np.int64)
+    y = y.astype(np.int64)
+    for b in range(bits):
+        out |= ((x >> b) & 1) << (2 * b)
+        out |= ((y >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def point_cell_expr(lon_col: Column, latp_col: Column, zoom: int = CELL_ZOOM) -> Column:
+    """Morton cell id for fixed-point points — generated Catalyst bit
+    expression (stays inside whole-stage codegen; no Python)."""
+    from .tileassign import point_tile_expr
+
+    x, y = point_tile_expr(lon_col, latp_col, zoom)
+    acc = F.lit(0).cast("long")
+    for b in range(zoom):
+        acc = (acc
+               + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+               + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+    return acc
+
+
+def sql_point_cell(lon_expr: str, latp_expr: str, zoom: int = CELL_ZOOM) -> str:
+    """The same Morton expression as DuckDB SQL (oracle side)."""
+    x = (f"CAST(floor((CAST({lon_expr} AS DOUBLE)/10000000.0 + 180.0)"
+         f" * (1.0/360.0) * {float(1 << zoom)}) AS BIGINT)")
+    y = (f"CAST(floor((180.0 - CAST({latp_expr} AS DOUBLE)/10000000.0)"
+         f" * (1.0/360.0) * {float(1 << zoom)}) AS BIGINT)")
+    terms = []
+    for b in range(zoom):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def cells_to_ranges(cells: np.ndarray):
+    """Sorted Morton cells -> [(start, end)] inclusive ranges
+    (the STRtree-style compressed index the north_star names)."""
+    if len(cells) == 0:
+        return []
+    cells = np.unique(cells)
+    breaks = np.nonzero(np.diff(cells) != 1)[0]
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks, [len(cells) - 1]])
+    return [(int(cells[s]), int(cells[e])) for s, e in zip(starts, ends)]
+
+
+# ---------------------------------------------------------- district layer
+
+def district_table(spark: SparkSession) -> DataFrame:
+    """Deterministic diamond reference polygons (the shapefile-layer
+    stand-in, cf. S8 src/read_shp.cpp:101-249). Tiny -> broadcast."""
+    rows = []
+    for gx in range(DIST_NX):
+        for gy in range(DIST_NY):
+            cx = DIST_X0 + gx * DIST_PITCH
+            cy = DIST_Y0 + gy * DIST_PITCH
+            ring_lon = [cx + DIST_R, cx, cx - DIST_R, cx, cx + DIST_R]
+            ring_latp = [cy, cy + DIST_R, cy, cy - DIST_R, cy]
+            rows.append((gx * 100 + gy, cx, cy, ring_lon, ring_latp))
+    return spark.createDataFrame(
+        rows, "district_id INT, cx INT, cy INT, ring_lon ARRAY<INT>, ring_latp ARRAY<INT>")
+
+
+def district_cover_cells(districts: DataFrame, zoom: int = CELL_ZOOM) -> DataFrame:
+    """Polygon -> covering Morton cells, batched numpy in an
+    Arrow-vectorized pandas UDF (tilecover DDA walk + scanline fill,
+    then Morton interleave)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from .kernels import tilecover
+
+    @pandas_udf(ArrayType(LongType()))
+    def cover(ring_lon, ring_latp):
+        out = []
+        for lons, latps in zip(ring_lon, ring_latp):
+            lo = np.asarray(lons, dtype=np.float64) / 1e7
+            la = np.asarray(latps, dtype=np.float64) / 1e7
+            # bbox cover: a conservative SUPERSET of intersected cells —
+            # required for join correctness (the refine step discards
+            # non-matching candidates; a tighter cover that missed a
+            # corner cell would silently drop join rows). The tighter
+            # DDA+scanline cover (tilecover.polygon_cover_tiles) is
+            # reserved for tile ASSIGNMENT where reference parity — not
+            # supersetness — is the contract.
+            tids = tilecover.bbox_cover_tiles(lo.min(), la.min(), lo.max(), la.max(), zoom)
+            xs = tids >> 32
+            ys = tids & 0xFFFFFFFF
+            out.append(morton_interleave_np(xs, ys, zoom).tolist())
+        return pd.Series(out)
+
+    return (districts
+            .withColumn("cell", F.explode(cover(F.col("ring_lon"), F.col("ring_latp"))))
+            .select("district_id", "cell", "ring_lon", "ring_latp"))
+
+
+# ------------------------------------------------------ point-in-polygon
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nodes, _, _ = geocode.geocode(docs)
+    return classify.classify_nodes(nodes)
+
+
+def point_in_polygon_join(points: DataFrame, districts: DataFrame) -> DataFrame:
+    """J4: cell equi-join + vectorized ray-cast refine.
+
+    points must carry (object_id, layer, lon, latp). The polygon side is
+    broadcast (small reference layer); at 10^12 points the plan is
+    scan -> codegen cell expr -> broadcast hash join -> Arrow refine —
+    no shuffle of the point table at all."""
+    cover = district_cover_cells(districts)
+    pts = points.withColumn("cell", point_cell_expr(F.col("lon"), F.col("latp")))
+    cand = pts.join(F.broadcast(cover), "cell")
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def inside(district_id, lon, latp, ring_lon, ring_latp):
+        # one numpy ray-cast batch per Arrow page, grouped by polygon id
+        # so each ring is "prepared" (converted to numpy) exactly once
+        out = np.zeros(len(lon), dtype=bool)
+        lon_v = lon.to_numpy(dtype=np.float64)
+        latp_v = latp.to_numpy(dtype=np.float64)
+        did = district_id.to_numpy()
+        for d in np.unique(did):
+            ii = np.nonzero(did == d)[0]
+            rx = np.asarray(ring_lon.iloc[ii[0]], dtype=np.float64)
+            ry = np.asarray(ring_latp.iloc[ii[0]], dtype=np.float64)
+            out[ii] = geomops.points_in_ring(lon_v[ii], latp_v[ii], rx, ry)
+        return pd.Series(out)
+
+    return (cand
+            .where(inside(F.col("district_id"), F.col("lon"), F.col("latp"),
+                          F.col("ring_lon"), F.col("ring_latp")))
+            .select("object_id", "layer", "district_id"))
+
+
+def poi_district_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline spatial join: every classified point vs districts."""
+    return point_in_polygon_join(_points(spark, sf_dir), district_table(spark))
+
+
+# ----------------------------------------------------------------- kNN
+
+def knn_join(queries: DataFrame, places: DataFrame, k: int = KNN_K,
+             cell_zoom: int = KNN_CELL_ZOOM, ring: int = KNN_RING) -> DataFrame:
+    """Exact kNN via cell-ring expansion with certified fallback.
+
+    queries/places: (id-col, lon, latp) with id cols 'object_id' /
+    'place_id'. Phase 1 joins each query's (2*ring+1)^2 cell window to
+    the bucketed places (equi-join on cell — the scale path). A query's
+    top-k is certified exact when its k-th candidate distance is inside
+    the provable safe radius (ring cells minus one, in fixed units);
+    uncertified queries re-run against a broadcast brute-force pass.
+    Distances are exact int64 (squared fixed-point)."""
+    from pyspark.sql.window import Window
+    from .tileassign import point_tile_expr
+
+    qx, qy = point_tile_expr(F.col("lon"), F.col("latp"), cell_zoom)
+    px, py = point_tile_expr(F.col("lon"), F.col("latp"), cell_zoom)
+
+    p = places.select("place_id", F.col("lon").alias("p_lon"), F.col("latp").alias("p_latp"),
+                      (px * F.lit(1 << cell_zoom) + py).alias("cell"))
+    offs = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+    q = queries.select("object_id", "lon", "latp", qx.alias("qx"), qy.alias("qy"))
+    q_cells = q.select(
+        "object_id", "lon", "latp",
+        F.explode(F.array(*[
+            (F.col("qx") + dx) * F.lit(1 << cell_zoom) + (F.col("qy") + dy)
+            for dx, dy in offs])).alias("cell"))
+
+    dist2 = ((F.col("lon").cast("long") - F.col("p_lon").cast("long"))
+             * (F.col("lon").cast("long") - F.col("p_lon").cast("long"))
+             + (F.col("latp").cast("long") - F.col("p_latp").cast("long"))
+             * (F.col("latp").cast("long") - F.col("p_latp").cast("long")))
+
+    cand = (q_cells.join(p, "cell")
+            .select("object_id", "place_id", dist2.alias("dist2")))
+    w = Window.partitionBy("object_id").orderBy("dist2", "place_id")
+    ranked = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+    # certification: k-th distance must fit inside (ring-?) cells in BOTH
+    # axes; conservative fixed-unit cell sizes (floor - 1)
+    w_lon = int(360e7 / (1 << cell_zoom)) - 1
+    w_latp = w_lon  # same projected-degree scale on both axes
+    safe = (ring - 0) * min(w_lon, w_latp)
+    safe2 = (safe - 1) * (safe - 1)
+    stats = ranked.groupBy("object_id").agg(
+        F.count(F.lit(1)).alias("n_cand"), F.max("dist2").alias("kth_dist2"))
+    certified = stats.where((F.col("n_cand") >= k) & (F.col("kth_dist2") <= F.lit(safe2)))
+    good = ranked.join(certified.select("object_id"), "object_id", "left_semi")
+
+    # fallback: brute force for uncertified queries (few at sane densities)
+    uncert = queries.join(certified.select("object_id"), "object_id", "left_anti") \
+                    .select("object_id", "lon", "latp")
+    brute = (uncert.crossJoin(F.broadcast(
+                places.select("place_id", F.col("lon").alias("p_lon"),
+                              F.col("latp").alias("p_latp"))))
+             .select("object_id", "place_id", dist2.alias("dist2")))
+    brute_ranked = brute.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+    return good.unionByName(brute_ranked).select("object_id", "place_id", "dist2", "rank")
+
+
+def poi_knn(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """kNN headline: each poi point's k nearest 'place' points."""
+    pts = _points(spark, sf_dir)
+    queries = pts.where(F.col("layer") == "poi").select("object_id", "lon", "latp")
+    places = pts.where(F.col("layer") == "place").select(
+        F.col("object_id").alias("place_id"), "lon", "latp")
+    return knn_join(queries, places, k)
+
+
+# ----------------------------------------------------- raster <-> vector
+
+RASTER_ZOOM = 12
+RASTER_BINS = 16        # 16x16 bins per tile
+
+
+def rasterize_points(points: DataFrame, zoom: int = RASTER_ZOOM,
+                     bins: int = RASTER_BINS) -> DataFrame:
+    """Vector -> raster: bin points into per-tile pixel-grid counts
+    (pure groupBy — the relational rasterizer)."""
+    from .tileassign import point_tile_expr
+
+    fx, fy = point_tile_expr(F.col("lon"), F.col("latp"), zoom)
+    bx, by = point_tile_expr(F.col("lon"), F.col("latp"), zoom + 4)  # 16 = 2^4 bins
+    return (points
+            .select(fx.alias("x"), fy.alias("y"),
+                    (bx % bins).alias("px"), (by % bins).alias("py"))
+            .groupBy("x", "y", "px", "py")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("z", F.lit(zoom)))
+
+
+def vectorize_raster(raster: DataFrame, threshold: int = 2,
+                     zoom: int = RASTER_ZOOM, bins: int = RASTER_BINS) -> DataFrame:
+    """Raster -> vector: cells >= threshold emitted as bbox polygons
+    (lon/latp double bounds) — closed-form column math."""
+    gx = F.col("x") * bins + F.col("px")
+    gy = F.col("y") * bins + F.col("py")
+    scale = F.lit(360.0 / float((1 << zoom) * bins))
+    return (raster.where(F.col("n") >= threshold)
+            .select("z", "x", "y", "px", "py", "n",
+                    (gx * scale - 180.0).alias("min_lon"),
+                    ((gx + 1) * scale - 180.0).alias("max_lon"),
+                    (F.lit(180.0) - (gy + 1) * scale).alias("min_latp"),
+                    (F.lit(180.0) - gy * scale).alias("max_latp")))
