@@ -42,6 +42,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(queries_spatial.QUERIES)
     except ImportError:
         pass
+    try:
+        from tilemaker_spark import queries_media
+        q.update(queries_media.QUERIES)
+    except ImportError:
+        pass
     return q
 
 
@@ -58,6 +63,11 @@ def oracle_sql() -> dict[str, str]:
     try:
         from tilemaker_spark import queries_spatial
         o.update(queries_spatial.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from tilemaker_spark import queries_media
+        o.update(queries_media.ORACLES)
     except ImportError:
         pass
     return o

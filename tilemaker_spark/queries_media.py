@@ -1,0 +1,68 @@
+"""Multimodal plumbing queries + DuckDB oracles.
+
+The payload is a deterministic fake (text bytes) so the decode stub's
+metadata is closed-form SQL; what's under test is the real Spark-side
+plumbing: binary column handling, mapInPandas batch shape, explode
+frame sampling, integer resize math.
+"""
+
+from __future__ import annotations
+
+from . import media
+
+
+def q_media_features(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return media.extract_media_features(media.with_media_payload(docs))
+
+
+def q_media_frame_sample(spark, sf_dir):
+    return media.sample_frames(q_media_features(spark, sf_dir))
+
+
+def q_media_resize(spark, sf_dir):
+    return media.resize_stub(q_media_features(spark, sf_dir))
+
+
+QUERIES = {
+    "media_features": q_media_features,
+    "media_frame_sample": q_media_frame_sample,
+    "media_resize": q_media_resize,
+}
+
+
+_META_CTE = """
+WITH m AS (
+  SELECT doc_id,
+    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+    (['image','audio','video'])[CAST(octet_length(encode(text)) % 3 AS INT) + 1] AS kind,
+    CAST(64 + octet_length(encode(text)) % 192 AS INT) AS width,
+    CAST(64 + (octet_length(encode(text)) // 7) % 192 AS INT) AS height,
+    CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 1
+         ELSE CAST(octet_length(encode(text)) % 10 + 1 AS INT) END AS n_frames,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, CAST(least(17, octet_length(encode(text)) + 1) AS INT)),
+                     i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+      (acc, b) -> (acc * 131 + b) % 1000000007) AS checksum
+  FROM documents
+)
+"""
+
+
+ORACLES = {
+    "media_features": _META_CTE + """
+SELECT doc_id, n_bytes, kind, width, height, n_frames, checksum FROM m
+""",
+    "media_frame_sample": _META_CTE + """
+SELECT doc_id, kind, n_frames, CAST(unnest(range(0, n_frames, 3)) AS INT) AS frame_idx
+FROM m WHERE n_frames > 1
+""",
+    "media_resize": _META_CTE + """
+SELECT doc_id, width, height,
+  CASE WHEN greatest(width, height) <= 128 THEN width
+       ELSE CAST(floor(width * 128.0 / greatest(width, height)) AS INT) END AS out_w,
+  CASE WHEN greatest(width, height) <= 128 THEN height
+       ELSE CAST(floor(height * 128.0 / greatest(width, height)) AS INT) END AS out_h
+FROM m
+""",
+}
