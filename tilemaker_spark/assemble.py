@@ -172,7 +172,12 @@ def assemble_features(nodes: DataFrame, ways: DataFrame, relations: DataFrame,
         "object_id", "elem", "layer", "kind", "attrs", "as_centroid",
         F.lit(None).cast("binary").alias("geom"), "lon", "latp")
 
-    way_coords = ways_with_coords(ways, nodes)
+    # way_coords feeds BOTH the way branch and the relation branch of the
+    # union; an eager localCheckpoint materializes the J1 join+groupBy
+    # exactly once and truncates the lineage (a lazy persist would race:
+    # both branches run in the same job and would each compute it).
+    # At cluster scale this is the durable stage-checkpoint boundary.
+    way_coords = ways_with_coords(ways, nodes).localCheckpoint()
     wf = assemble_way_geometries(way_feats, way_coords)
     wf_packed = pack_way_geometries(wf).select(
         "object_id", "elem", "layer", "kind", "attrs", "as_centroid", "geom",

@@ -121,8 +121,10 @@ def make_encoder(cfg: Config):
                 if mxl <= bb.min_lon or mnl >= bb.max_lon or \
                    mxla <= bb.min_lat or mnla >= bb.max_lat:
                     continue
-            # A4: canonical sort + dedup
-            g = g.assign(_ak=[_attrs_key(a) for a in g["attrs"]])
+            # A4: canonical sort + dedup (_ak precomputed in Catalyst by
+            # encode_zoom; python fallback for direct callers)
+            if "_ak" not in g.columns:
+                g = g.assign(_ak=[_attrs_key(a) for a in g["attrs"]])
             g = g.sort_values(["layer", "kind", "_ak", "object_id"], kind="mergesort")
             g = g.drop_duplicates(["layer", "kind", "_ak", "object_id"])
 
@@ -159,7 +161,7 @@ def make_encoder(cfg: Config):
                             else:
                                 merged.extend(r for _, r in run.iterrows())
                         merged_rows = pd.DataFrame(merged) if merged else rows.iloc[0:0]
-                    for _, row in merged_rows.iterrows():
+                    for row in merged_rows.to_dict("records"):
                         res = _encode_feature_geom(row, bb, tol, False)
                         if res is None:
                             continue  # F9 / G7 drop
@@ -193,5 +195,45 @@ def make_encoder(cfg: Config):
 
 
 def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
-    """(z,x,y,...feature rows) -> (z,x,y,tile,...) via grouped pandas UDF."""
-    return assigned.groupBy("z", "x", "y").applyInPandas(make_encoder(cfg), schema=ENCODE_SCHEMA)
+    """(z,x,y,...feature rows) -> (z,x,y,tile,...) via grouped pandas UDF.
+
+    Scale-critical shaping BEFORE the shuffle (all Catalyst):
+    - F8 zoom-range filter pushed down: a z0 tile would otherwise
+      receive every feature in the world as one group (60k+ rows per
+      mapper at sf0.1×8 — unbounded at 100 TB) only to drop them after
+      the shuffle. Tile-set parity with the reference (which emits
+      empty tiles, src/tile_worker.cpp:229-250) is preserved by a
+      distinct-coords left join that re-adds fully-filtered tiles with
+      an empty MVT body.
+    - the canonical attribute sort key (A4) is computed as a column so
+      the per-tile Python loop never re-derives it per row.
+    """
+    from pyspark.sql import functions as F
+
+    minz = F.create_map(*[x for name, ld in cfg.layers.items()
+                          for x in (F.lit(name), F.lit(ld.minzoom))])
+    maxz = F.create_map(*[x for name, ld in cfg.layers.items()
+                          for x in (F.lit(name), F.lit(ld.maxzoom))])
+    ak = F.array_join(
+        F.transform(F.array_sort(F.map_entries("attrs")),
+                    lambda e: F.concat_ws("\x1e", e["key"], e["value"])),
+        "\x1f")
+    eligible = (assigned
+                .where((F.col("z") >= F.element_at(minz, F.col("layer")))
+                       & (F.col("z") <= F.element_at(maxz, F.col("layer"))))
+                .withColumn("_ak", ak))
+    tiles = eligible.groupBy("z", "x", "y").applyInPandas(
+        make_encoder(cfg), schema=ENCODE_SCHEMA)
+
+    # empty-tile parity: the tile COORD set derives from the index, not
+    # from post-filter contents (reference: tile_data.cpp:163-170)
+    empty_raw = mvt.encode_tile([])
+    empty_bytes = (mvt.compress_tile(empty_raw, use_gzip=cfg.gzip)
+                   if cfg.compress else empty_raw)
+    coords = assigned.select("z", "x", "y").distinct()
+    return (coords.join(tiles, ["z", "x", "y"], "left")
+            .select("z", "x", "y",
+                    F.coalesce(F.col("tile"), F.lit(empty_bytes)).alias("tile"),
+                    F.coalesce(F.col("feature_count"), F.lit(0)).alias("feature_count"),
+                    F.coalesce(F.col("geometry_hash"), F.lit(0).cast("long")).alias("geometry_hash"),
+                    F.coalesce(F.col("raw_bytes"), F.lit(0)).alias("raw_bytes")))

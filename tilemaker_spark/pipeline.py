@@ -95,7 +95,11 @@ def pyramid_df(spark: SparkSession, docs: DataFrame, cfg: Config | None = None,
     cfg = cfg or default_config()
     zooms = zooms if zooms is not None else list(range(cfg.minzoom, cfg.maxzoom + 1))
     nodes, ways, relations = build_stores(spark, docs)
-    features = build_features(nodes, ways, relations)
+    # assign_base_tiles consumes features through two filter branches
+    # (points / geometries) — eager localCheckpoint so the
+    # classify+assemble subtree executes once (run_pyramid gets the same
+    # effect from its parquet stage checkpoint)
+    features = build_features(nodes, ways, relations).localCheckpoint()
     assigned = tileassign.assign_base_tiles(features, cfg.basezoom)
     rolled = tileassign.rollup_all_zooms(assigned, zooms, cfg.basezoom)
     return encode_zoom(rolled, cfg)

@@ -64,18 +64,37 @@ def morton_interleave_np(x: np.ndarray, y: np.ndarray, bits: int) -> np.ndarray:
     return out
 
 
-def point_cell_expr(lon_col: Column, latp_col: Column, zoom: int = CELL_ZOOM) -> Column:
-    """Morton cell id for fixed-point points — generated Catalyst bit
-    expression (stays inside whole-stage codegen; no Python)."""
-    from .tileassign import point_tile_expr
-
-    x, y = point_tile_expr(lon_col, latp_col, zoom)
+def morton_expr(x: Column, y: Column, bits: int) -> Column:
+    """Morton interleave of two (small, already-named) integer columns."""
     acc = F.lit(0).cast("long")
-    for b in range(zoom):
+    for b in range(bits):
         acc = (acc
                + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
                + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1))
     return acc
+
+
+def with_point_cell(df: DataFrame, lon_col: str = "lon", latp_col: str = "latp",
+                    zoom: int = CELL_ZOOM, out: str = "cell") -> DataFrame:
+    """Add a Morton cell column — staged projections so the tile floor
+    expression is computed ONCE per axis, not inlined into all 2*zoom
+    bit terms (inlining blows the codegen tree up to ~30 s of janino
+    compile per plan)."""
+    from .tileassign import point_tile_expr
+
+    x, y = point_tile_expr(F.col(lon_col), F.col(latp_col), zoom)
+    staged = df.withColumn("_cx", x).withColumn("_cy", y)
+    return (staged.withColumn(out, morton_expr(F.col("_cx"), F.col("_cy"), zoom))
+                  .drop("_cx", "_cy"))
+
+
+def point_cell_expr(lon_col: Column, latp_col: Column, zoom: int = CELL_ZOOM) -> Column:
+    """Single-Column Morton cell (compact inputs only — prefer
+    with_point_cell for plans that survive codegen audits)."""
+    from .tileassign import point_tile_expr
+
+    x, y = point_tile_expr(lon_col, latp_col, zoom)
+    return morton_expr(x, y, zoom)
 
 
 def sql_point_cell(lon_expr: str, latp_expr: str, zoom: int = CELL_ZOOM) -> str:
@@ -148,7 +167,8 @@ def district_cover_cells(districts: DataFrame, zoom: int = CELL_ZOOM) -> DataFra
             out.append(morton_interleave_np(xs, ys, zoom).tolist())
         return pd.Series(out)
 
-    return (districts
+    # the reference layer is tiny — one partition, one Python worker
+    return (districts.coalesce(1)
             .withColumn("cell", F.explode(cover(F.col("ring_lon"), F.col("ring_latp"))))
             .select("district_id", "cell", "ring_lon", "ring_latp"))
 
@@ -169,7 +189,7 @@ def point_in_polygon_join(points: DataFrame, districts: DataFrame) -> DataFrame:
     scan -> codegen cell expr -> broadcast hash join -> Arrow refine —
     no shuffle of the point table at all."""
     cover = district_cover_cells(districts)
-    pts = points.withColumn("cell", point_cell_expr(F.col("lon"), F.col("latp")))
+    pts = with_point_cell(points)
     cand = pts.join(F.broadcast(cover), "cell")
 
     from pyspark.sql.functions import pandas_udf
