@@ -194,8 +194,99 @@ def make_encoder(cfg: Config):
     return encode_tiles
 
 
+LAYER_GROUP_SCHEMA = ("z int, x long, y long, order_idx int, layer_bytes binary, "
+                      "feature_count int, layer_hash long, raw_bytes int")
+
+
+def make_layer_encoder(cfg: Config):
+    """Per-(tile, OUTPUT-layer) encoder — the skew answer for metro
+    tiles: MVT layers are independent (sort/dedup A4, merge A5 and the
+    key/value dictionaries A8 are all per-layer), so encoding them as
+    separate groups multiplies parallelism by the layer count and
+    bounds the largest group at 1/n_layers of the hottest tile. The
+    cheap cross-layer work (W4 ordering, protobuf framing, gzip) moves
+    to assemble_tiles."""
+    layer_order = cfg.layer_order
+    layers_cfg = cfg.layers
+    group_index = {group[0]: (i, group) for i, group in enumerate(layer_order)}
+
+    def encode_layer_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (z, x, y, out_layer), g in pdf.groupby(["z", "x", "y", "_out_layer"], sort=False):
+            z, x, y = int(z), int(x), int(y)
+            bb = M.TileBbox(x, y, z)
+            if cfg.bounding_box is not None:
+                mnl, mnla, mxl, mxla = cfg.bounding_box
+                if mxl <= bb.min_lon or mnl >= bb.max_lon or \
+                   mxla <= bb.min_lat or mnla >= bb.max_lat:
+                    continue  # F7
+            if "_ak" not in g.columns:
+                g = g.assign(_ak=[_attrs_key(a) for a in g["attrs"]])
+            g = g.sort_values(["layer", "kind", "_ak", "object_id"], kind="mergesort")
+            g = g.drop_duplicates(["layer", "kind", "_ak", "object_id"])
+
+            order_idx, group = group_index[out_layer]
+            dicts = mvt.LayerDicts()
+            feats = []
+            n_feats = 0
+            ghash = 0
+            for sub in group:
+                ld = layers_cfg[sub]
+                if z < ld.minzoom or z > ld.maxzoom:
+                    continue  # F8
+                rows = g[g["layer"] == sub]
+                if rows.empty:
+                    continue
+                tol = ld.simplify_tolerance(z, y)
+                merged_rows = rows
+                if cfg.combine_similar:
+                    merged = []
+                    for (_, _ak), run in rows.groupby(["kind", "_ak"], sort=False):
+                        first = run.iloc[0].copy()
+                        if len(run) > 1 and first["kind"] in (2, 3) and first["geom"] is not None:
+                            bufs = [geompack.unpack(bytes(b)) for b in run["geom"]]
+                            if first["kind"] == 2:
+                                parts = [p for _, pl in bufs for p in pl]
+                                first["geom"] = geompack.pack_line(parts)
+                            else:
+                                polys = [p for _, pl in bufs for p in pl]
+                                first["geom"] = geompack.pack_polygon(polys)
+                            merged.append(first)
+                        else:
+                            merged.extend(r for _, r in run.iterrows())
+                    merged_rows = pd.DataFrame(merged) if merged else rows.iloc[0:0]
+                for row in merged_rows.to_dict("records"):
+                    res = _encode_feature_geom(row, bb, tol, False)
+                    if res is None:
+                        continue  # F9 / G7 drop
+                    gt, cmds = res
+                    tag_idx = []
+                    for k in sorted(row["attrs"] or {}):
+                        tag_idx.append(dicts.key_index(k))
+                        tag_idx.append(dicts.value_index(row["attrs"][k]))
+                    feats.append(mvt.encode_feature(
+                        gt, cmds, tag_idx,
+                        feature_id=int(row["object_id"]) if cfg.include_ids else None))
+                    n_feats += 1
+                    ghash = (ghash * 1000003 + zlib.crc32(bytes(np.array(cmds, dtype=np.int64))) + gt) & 0x7FFFFFFFFFFFFFFF
+            if not feats:
+                continue
+            layer_msg = mvt.encode_layer(group[0], feats, dicts.keys, dicts.values,
+                                         version=cfg.mvt_version)
+            framed = mvt.encode_tile([layer_msg])  # Tile.layers framing
+            out.append({"z": z, "x": x, "y": y, "order_idx": order_idx,
+                        "layer_bytes": framed, "feature_count": n_feats,
+                        "layer_hash": int(ghash), "raw_bytes": len(framed)})
+        cols = ["z", "x", "y", "order_idx", "layer_bytes", "feature_count",
+                "layer_hash", "raw_bytes"]
+        return pd.DataFrame(out, columns=cols)
+
+    return encode_layer_groups
+
+
 def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
-    """(z,x,y,...feature rows) -> (z,x,y,tile,...) via grouped pandas UDF.
+    """(z,x,y,...feature rows) -> (z,x,y,tile,...) in two stages:
+    per-(tile,output-layer) encode, then Catalyst tile assembly.
 
     Scale-critical shaping BEFORE the shuffle (all Catalyst):
     - F8 zoom-range filter pushed down: a z0 tile would otherwise
@@ -218,12 +309,47 @@ def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
         F.transform(F.array_sort(F.map_entries("attrs")),
                     lambda e: F.concat_ws("\x1e", e["key"], e["value"])),
         "\x1f")
+    out_layer = F.create_map(*[x for name in cfg.layers
+                               for x in (F.lit(name), F.lit(cfg.output_layer_of(name)))])
     eligible = (assigned
                 .where((F.col("z") >= F.element_at(minz, F.col("layer")))
                        & (F.col("z") <= F.element_at(maxz, F.col("layer"))))
-                .withColumn("_ak", ak))
-    tiles = eligible.groupBy("z", "x", "y").applyInPandas(
-        make_encoder(cfg), schema=ENCODE_SCHEMA)
+                .withColumn("_ak", ak)
+                .withColumn("_out_layer", F.element_at(out_layer, F.col("layer"))))
+    layer_groups = eligible.groupBy("z", "x", "y", "_out_layer").applyInPandas(
+        make_layer_encoder(cfg), schema=LAYER_GROUP_SCHEMA)
+
+    # ---- W4 tile assembly: order layers, concat framed bytes (Catalyst)
+    parts = (layer_groups.groupBy("z", "x", "y").agg(
+        F.sort_array(F.collect_list(F.struct("order_idx", "layer_bytes"))).alias("parts"),
+        F.sort_array(F.collect_list(F.struct("order_idx", "layer_hash"))).alias("hparts"),
+        F.sum("feature_count").cast("int").alias("feature_count"),
+        F.sum("raw_bytes").cast("int").alias("raw_bytes")))
+    raw_col = F.aggregate("parts", F.lit(b""),
+                          lambda acc, p: F.concat(acc, p["layer_bytes"]))
+    hash_col = F.aggregate(
+        "hparts", F.lit(0).cast("long"),
+        lambda acc, p: (acc * 31 + F.pmod(p["layer_hash"], F.lit(1000000007))) % F.lit(1000000007))
+    assembled = parts.select("z", "x", "y", raw_col.alias("raw"),
+                             hash_col.alias("geometry_hash"),
+                             "feature_count", "raw_bytes")
+
+    # gzip/deflate (G18) — vectorized scalar pandas UDF over tile bytes
+    if cfg.compress:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        use_gzip = cfg.gzip
+
+        @pandas_udf(BinaryType())
+        def compress(raw):
+            return raw.apply(lambda b: mvt.compress_tile(bytes(b), use_gzip=use_gzip))
+
+        assembled = assembled.withColumn("tile", compress(F.col("raw")))
+    else:
+        assembled = assembled.withColumn("tile", F.col("raw"))
+    tiles = assembled.select("z", "x", "y", "tile", "feature_count",
+                             "geometry_hash", "raw_bytes")
 
     # empty-tile parity: the tile COORD set derives from the index, not
     # from post-filter contents (reference: tile_data.cpp:163-170)
@@ -231,6 +357,21 @@ def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
     empty_bytes = (mvt.compress_tile(empty_raw, use_gzip=cfg.gzip)
                    if cfg.compress else empty_raw)
     coords = assigned.select("z", "x", "y").distinct()
+    if cfg.bounding_box is not None:
+        # F7 for the coord set (same skip the per-group encoder applies)
+        mnl, mnla, mxl, mxla = cfg.bounding_box
+        two_z = F.shiftleft(F.lit(1).cast("long"), F.col("z"))
+        t_minlon = F.col("x") / two_z * 360.0 - 180.0
+        t_maxlon = (F.col("x") + 1) / two_z * 360.0 - 180.0
+
+        def _tile_lat(y_expr):
+            latp = F.lit(180.0) - y_expr / two_z * 360.0
+            return F.degrees(F.atan(F.exp(F.radians(latp)))) * 2.0 - 90.0
+
+        t_minlat = _tile_lat(F.col("y") + 1)
+        t_maxlat = _tile_lat(F.col("y").cast("double"))
+        coords = coords.where((F.lit(mxl) > t_minlon) & (F.lit(mnl) < t_maxlon)
+                              & (F.lit(mxla) > t_minlat) & (F.lit(mnla) < t_maxlat))
     return (coords.join(tiles, ["z", "x", "y"], "left")
             .select("z", "x", "y",
                     F.coalesce(F.col("tile"), F.lit(empty_bytes)).alias("tile"),
