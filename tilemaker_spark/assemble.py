@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .kernels import geomops, geompack
@@ -61,7 +61,8 @@ def assemble_way_geometries(features: DataFrame, way_coords: DataFrame) -> DataF
 
 _REL_GEOM_SCHEMA = (
     "object_id long, elem string, layer string, kind int, "
-    "attrs map<string,string>, as_centroid boolean, geom binary"
+    "attrs map<string,string>, as_centroid boolean, geom binary, "
+    "feat_minzoom int"
 )
 
 
@@ -121,13 +122,21 @@ def assemble_relation_geometries(rel_features: DataFrame, relations: DataFrame,
             if not polys:
                 continue
             first = g.iloc[0]
+            area2 = 0
+            for rings in polys:
+                ox, oy = rings[0]
+                ox = np.asarray(ox, dtype=np.int64)
+                oy = np.asarray(oy, dtype=np.int64)
+                area2 += abs(int(np.sum(ox[:-1] * oy[1:] - ox[1:] * oy[:-1])))
             out_rows.append({
                 "object_id": int(rel_id), "elem": first["elem"], "layer": first["layer"],
                 "kind": int(first["kind"]), "attrs": first["attrs"],
                 "as_centroid": bool(first["as_centroid"]),
                 "geom": geompack.pack_polygon(polys),
+                "feat_minzoom": feature_minzoom_py(3, area2, 0),
             })
-        cols = ["object_id", "elem", "layer", "kind", "attrs", "as_centroid", "geom"]
+        cols = ["object_id", "elem", "layer", "kind", "attrs", "as_centroid", "geom",
+                "feat_minzoom"]
         return pd.DataFrame(out_rows, columns=cols)
 
     return grouped.groupBy("rel_id").applyInPandas(_assemble, schema=_REL_GEOM_SCHEMA)
@@ -159,18 +168,75 @@ def pack_way_geometries(way_feats_with_coords: DataFrame) -> DataFrame:
     )
 
 
+# Per-feature minzoom by size (projected-degree fixed-point units).
+# Mirrors the reference's Lua pattern of gating features into low zooms
+# by Area()/Length() thresholds (resources/process-openmaptiles.lua
+# sets minzoom from way_area; CONFIGURATION.md:147-199) — and at scale
+# it is what BOUNDS a z6 tile's group size: small features simply do
+# not exist at low zooms, no matter how many rows the input has.
+AREA2_MINZOOM = [(400_000_000, 6), (150_000_000, 9), (40_000_000, 11)]
+AREA2_MINZOOM_ELSE = 12
+LEN2_MINZOOM = [(300_000_000, 8), (100_000_000, 10)]
+LEN2_MINZOOM_ELSE = 11
+
+
+def _shoelace2(lons: Column, latps: Column) -> Column:
+    """|2 × area| over a closed ring, exact int64 (same formula as the
+    A7 oracle — queries_core.q_a7_poly_area)."""
+    return F.abs(F.aggregate(
+        F.sequence(F.lit(1), F.size(lons) - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.element_at(lons, i).cast("long") * F.element_at(latps, i + 1).cast("long")
+        - F.element_at(lons, i + 1).cast("long") * F.element_at(latps, i).cast("long")))
+
+
+def _seg_len2(lons: Column, latps: Column) -> Column:
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size(lons) - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + (F.element_at(lons, i + 1).cast("long") - F.element_at(lons, i).cast("long"))
+        * (F.element_at(lons, i + 1).cast("long") - F.element_at(lons, i).cast("long"))
+        + (F.element_at(latps, i + 1).cast("long") - F.element_at(latps, i).cast("long"))
+        * (F.element_at(latps, i + 1).cast("long") - F.element_at(latps, i).cast("long")))
+
+
+def _threshold_case(measure: Column, table: list, default: int) -> Column:
+    expr = F.lit(default)
+    for bound, z in reversed(table):
+        expr = F.when(measure >= bound, F.lit(z)).otherwise(expr)
+    return expr
+
+
+def feature_minzoom_py(kind: int, area2: int, len2: int) -> int:
+    """Pure-Python mirror of the minzoom thresholds (oracle side)."""
+    if kind == 3:
+        for bound, z in AREA2_MINZOOM:
+            if area2 >= bound:
+                return z
+        return AREA2_MINZOOM_ELSE
+    if kind == 2:
+        for bound, z in LEN2_MINZOOM:
+            if len2 >= bound:
+                return z
+        return LEN2_MINZOOM_ELSE
+    return 0
+
+
 def assemble_features(nodes: DataFrame, ways: DataFrame, relations: DataFrame,
                       node_feats: DataFrame, way_feats: DataFrame,
                       rel_feats: DataFrame) -> DataFrame:
     """Full assembly -> features(object_id, elem, layer, kind, attrs,
-    as_centroid, geom BINARY, lon, latp).
+    as_centroid, geom BINARY, lon, latp, feat_minzoom).
 
     Point features keep (lon, latp) columns and a null geom — points are
     the common case and skip binary packing entirely.
     """
     point_features = node_feats.select(
         "object_id", "elem", "layer", "kind", "attrs", "as_centroid",
-        F.lit(None).cast("binary").alias("geom"), "lon", "latp")
+        F.lit(None).cast("binary").alias("geom"), "lon", "latp",
+        F.lit(0).alias("feat_minzoom"))
 
     # way_coords feeds BOTH the way branch and the relation branch of the
     # union; an eager localCheckpoint materializes the J1 join+groupBy
@@ -179,12 +245,22 @@ def assemble_features(nodes: DataFrame, ways: DataFrame, relations: DataFrame,
     # At cluster scale this is the durable stage-checkpoint boundary.
     way_coords = ways_with_coords(ways, nodes).localCheckpoint()
     wf = assemble_way_geometries(way_feats, way_coords)
+    fmz = F.when(F.col("kind") == 3,
+                 _threshold_case(_shoelace2(F.col("lons"), F.col("latps")),
+                                 AREA2_MINZOOM, AREA2_MINZOOM_ELSE)) \
+           .when(F.col("kind") == 2,
+                 _threshold_case(_seg_len2(F.col("lons"), F.col("latps")),
+                                 LEN2_MINZOOM, LEN2_MINZOOM_ELSE)) \
+           .otherwise(F.lit(0))
+    wf = wf.withColumn("feat_minzoom", fmz)
     wf_packed = pack_way_geometries(wf).select(
         "object_id", "elem", "layer", "kind", "attrs", "as_centroid", "geom",
-        F.lit(None).cast("int").alias("lon"), F.lit(None).cast("int").alias("latp"))
+        F.lit(None).cast("int").alias("lon"), F.lit(None).cast("int").alias("latp"),
+        "feat_minzoom")
 
     rf = assemble_relation_geometries(rel_feats, relations, way_coords).select(
         "object_id", "elem", "layer", "kind", "attrs", "as_centroid", "geom",
-        F.lit(None).cast("int").alias("lon"), F.lit(None).cast("int").alias("latp"))
+        F.lit(None).cast("int").alias("lon"), F.lit(None).cast("int").alias("latp"),
+        "feat_minzoom")
 
     return point_features.unionByName(wf_packed).unionByName(rf)

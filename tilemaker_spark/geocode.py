@@ -21,8 +21,9 @@ Geocode rule (seeded by doc number d):
        hk's low-bit mods — hk % 3 selects kind, so every other variant
        choice must key off h2, not hk)
   kind = hk % 3 (0 point, 1 line, 2 polygon)
-  lon0  = 94710000 + (hk % 1630) * 1000          [9.471 .. 9.634]
-  latp0 = 534600000 + ((hk / 7) % 3200) * 1000   [53.46 .. 53.78 latp]
+  region = (h // 65536) % 64                     doc-level 8x8 block grid
+  lon0  = 94710000 + (hk % 1630) * 1000 + (region % 8) * 2000000
+  latp0 = 534600000 + ((hk / 7) % 3200) * 1000 + (region // 8) * 2000000
   point: 1 tagged node, tag variant h2 % 6
   line:  nv = 4 + h2 % 9 vertices, integer step+wiggle walk (steps from
          h2), waterway iff h2 % 5 == 0 else highway[h2 % 4]
@@ -86,13 +87,18 @@ def _seed_frame(docs: DataFrame) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"),
     ).where(F.col("k") < F.col("h") % 4)
     hk = _hk(F.col("h"), F.col("k"))
+    # doc-level region: an 8x8 grid of 0.2-degree blocks — pages cluster
+    # geographically (like real web corpora), and density per block stays
+    # bounded as the corpus grows instead of piling one bbox ever denser
+    region = (F.col("h") / 65536).cast("long") % 64
     return feats.select(
         "d", "src", "k",
         hk.alias("hk"),
         _h2(hk).alias("h2"),
         (hk % 3).alias("kind"),
-        (F.lit(94710000) + (hk % 1630) * 1000).cast("int").alias("lon0"),
-        (F.lit(534600000) + ((hk / 7).cast("long") % 3200) * 1000).cast("int").alias("latp0"),
+        (F.lit(94710000) + (hk % 1630) * 1000 + (region % 8) * 2000000).cast("int").alias("lon0"),
+        (F.lit(534600000) + ((hk / 7).cast("long") % 3200) * 1000
+         + (region / 8).cast("long") * 2000000).cast("int").alias("latp0"),
         (F.col("d") * 256 + F.col("k") * 32).alias("nid0"),
         (F.col("d") * 8 + F.col("k") * 2).alias("wid0"),
         (F.col("d") * 8 + F.col("k")).alias("rid"),

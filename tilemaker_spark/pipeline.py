@@ -30,7 +30,7 @@ from .config import Config, default_config
 from .encode import encode_zoom
 
 BASE_TILE_COLS = ["object_id", "elem", "layer", "kind", "attrs", "as_centroid",
-                  "geom", "lon", "latp", "tile_x", "tile_y"]
+                  "geom", "lon", "latp", "tile_x", "tile_y", "feat_minzoom"]
 
 
 def _stage_done(path: str) -> bool:

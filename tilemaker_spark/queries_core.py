@@ -212,8 +212,8 @@ s2 AS (
   SELECT d, k, hk,
     ((hk // 64) * 2654435761 + 40503) % 4294967296 AS h2,
     hk % 3 AS kind,
-    CAST(94710000 + (hk % 1630)*1000 AS BIGINT) AS lon0,
-    CAST(534600000 + ((hk // 7) % 3200)*1000 AS BIGINT) AS latp0,
+    CAST(94710000 + (hk % 1630)*1000 + (((h // 65536) % 64) % 8) * 2000000 AS BIGINT) AS lon0,
+    CAST(534600000 + ((hk // 7) % 3200)*1000 + (((h // 65536) % 64) // 8) * 2000000 AS BIGINT) AS latp0,
     d*256 + k*32 AS nid0,
     d*8 + k*2 AS wid0,
     d*8 + k AS rid

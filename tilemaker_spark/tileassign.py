@@ -90,6 +90,8 @@ def rollup_to_zoom(base_assigned: DataFrame, zoom: int, base_zoom: int = 14) -> 
     df = base_assigned.withColumn("z", F.lit(zoom)) \
         .withColumn("x", F.shiftright("tile_x", s)) \
         .withColumn("y", F.shiftright("tile_y", s))
+    if "feat_minzoom" in df.columns:
+        df = df.where(F.col("feat_minzoom") <= zoom)
     return df.dropDuplicates(["z", "x", "y", "layer", "kind", "elem", "object_id"])
 
 
@@ -111,4 +113,9 @@ def rollup_all_zooms(base_assigned: DataFrame, zooms: list, base_zoom: int = 14)
           .withColumn("z", F.explode(zoom_arr))
           .withColumn("x", F.expr(f"shiftright(tile_x, {base_zoom} - z)"))
           .withColumn("y", F.expr(f"shiftright(tile_y, {base_zoom} - z)")))
+    if "feat_minzoom" in df.columns:
+        # per-feature size-based minzoom (assemble.AREA2_MINZOOM): a z6
+        # tile only ever receives features big enough to matter at z6 —
+        # this bounds low-zoom group sizes independent of input scale
+        df = df.where(F.col("feat_minzoom") <= F.col("z"))
     return df.dropDuplicates(["z", "x", "y", "layer", "kind", "elem", "object_id"])
