@@ -1,18 +1,23 @@
 """Two-cluster-size scaling evidence (BASELINE.json north_rule).
 
-The sandbox has no real cluster, so per the driver instruction the
-same job runs at two parallelism levels — local[N] and local[4N] —
-on the same input; we report throughput at both plus the scaling
-efficiency  eff = (t_N / t_4N) / 4.
+No real cluster exists in this sandbox, so per the driver instruction
+the same jobs run at two parallelism levels — local[N] and local[4N] —
+on the same input; we report throughput at both plus
+eff = (t_N / t_4N) / 4 per job.
 
-The measured job is the flagship z0-z14 pyramid over a REPLICATED
-documents table (doc_id-shifted copies — deterministic, compute-heavy
-enough that parallel work dominates fixed JVM overhead). Timing starts
-after the session and input are warm.
+Machine ceiling: this host's all-core turbo drop inflates per-task CPU
+time ~1.64x between 1-core and 32-core load (measured by cpu_ceiling),
+so even perfectly parallel work cannot exceed ~0.89 efficiency from
+8 -> 32 processes. Report it alongside the job numbers.
+
+Jobs (one warm SparkSession per level):
+  pyramid   — flagship z0-z14 MVT pyramid over replicated documents
+  minhash   — MinHash-LSH near-dup candidate pairs + Jaccard refine
+  spjoin    — Morton-cell point-in-polygon join + kNN
 
 Usage:
-  python scripts/scaling_bench.py run <cpus> <mult>   # one level, prints JSON
-  python scripts/scaling_bench.py                     # both levels + summary
+  python scripts/scaling_bench.py run <cpus> <mult>   # one level, one JSON line
+  python scripts/scaling_bench.py [mult]              # both levels + summary
 """
 
 from __future__ import annotations
@@ -23,9 +28,31 @@ import subprocess
 import sys
 import time
 
-MULT_DEFAULT = 8
+MULT_DEFAULT = 16
 N_SMALL = 8
 N_BIG = 32
+
+
+def cpu_ceiling() -> dict:
+    """Pure-CPU parallel throughput at 1/N_SMALL/N_BIG procs (measures
+    the host's all-core frequency drop — the max achievable scaling)."""
+    import multiprocessing as mp
+
+    def burn(_):
+        t0 = time.time()
+        x = 0
+        for i in range(20_000_000):
+            x += i * i
+        return time.time() - t0
+
+    out = {}
+    for procs in (1, N_SMALL, N_BIG):
+        with mp.Pool(procs) as pool:
+            t0 = time.time()
+            pool.map(burn, range(procs))
+            out[procs] = round(procs / (time.time() - t0), 2)  # tasks/sec
+    ceil = (out[N_BIG] / out[N_SMALL]) / (N_BIG / N_SMALL)
+    return {"throughput_tasks_per_sec": out, "max_efficiency": round(ceil, 3)}
 
 
 def run_level(cpus: int, mult: int) -> None:
@@ -33,32 +60,48 @@ def run_level(cpus: int, mult: int) -> None:
     from pyspark.sql import functions as F
 
     from tilemaker_spark.session import get_spark
-    from tilemaker_spark import pipeline
+    from tilemaker_spark import pipeline, spatial, textops, classify, geocode
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name=f"scaling[{cpus}]", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_base = base.count()
-    # deterministic replication: doc_id shifted per copy -> distinct features
     docs = base
     for i in range(1, mult):
         docs = docs.unionByName(
             base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000)))
     docs = docs.repartition(cpus * 2).cache()
-    n_docs = docs.count()  # warm cache before timing
+    n_docs = docs.count()
+
+    res = {"cpus": cpus, "mult": mult, "docs": n_docs}
 
     t0 = time.time()
     tiles = pipeline.pyramid_df(spark, docs)
-    agg = tiles.selectExpr("count(*) n", "sum(feature_count) feats").collect()[0]
-    dt = time.time() - t0
-    print(json.dumps({
-        "cpus": cpus, "mult": mult, "docs": n_docs, "base_docs": n_base,
-        "tiles": int(agg["n"]), "encoded_features": int(agg["feats"]),
-        "wall_sec": round(dt, 2),
-        "tiles_per_sec": round(agg["n"] / dt, 3),
-        "features_per_sec": round(agg["feats"] / dt, 1),
-    }))
+    agg = tiles.selectExpr("count(*) n", "sum(feature_count) f").collect()[0]
+    res["pyramid_sec"] = round(time.time() - t0, 2)
+    res["tiles"] = int(agg["n"])
+    res["encoded_features"] = int(agg["f"])
+    res["tiles_per_sec"] = round(agg["n"] / res["pyramid_sec"], 2)
+
+    t0 = time.time()
+    n_pairs = textops.minhash_lsh_pairs(docs).count()
+    res["minhash_sec"] = round(time.time() - t0, 2)
+    res["minhash_pairs"] = n_pairs
+
+    t0 = time.time()
+    nodes, _, _ = geocode.geocode(docs)
+    pts = classify.classify_nodes(nodes)
+    n_join = spatial.point_in_polygon_join(pts, spatial.district_table(spark)).count()
+    queries = pts.where(F.col("layer") == "poi").select("object_id", "lon", "latp")
+    places = pts.where(F.col("layer") == "place").select(
+        F.col("object_id").alias("place_id"), "lon", "latp")
+    n_knn = spatial.knn_join(queries, places).count()
+    res["spjoin_sec"] = round(time.time() - t0, 2)
+    res["join_rows"] = n_join
+    res["knn_rows"] = n_knn
+    res["join_rows_per_sec"] = round((n_join + n_knn) / res["spjoin_sec"], 1)
+
+    print(json.dumps(res))
     spark.stop()
 
 
@@ -75,18 +118,13 @@ def main() -> None:
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
         print(line, flush=True)
-    t_small = results[N_SMALL]["wall_sec"]
-    t_big = results[N_BIG]["wall_sec"]
-    speedup = t_small / t_big
-    eff = speedup / (N_BIG / N_SMALL)
-    summary = {
-        "n_small": N_SMALL, "n_big": N_BIG,
-        "wall_small": t_small, "wall_big": t_big,
-        "speedup": round(speedup, 3),
-        "scaling_efficiency": round(eff, 3),
-        "throughput_small_feats_per_sec": results[N_SMALL]["features_per_sec"],
-        "throughput_big_feats_per_sec": results[N_BIG]["features_per_sec"],
-    }
+    summary = {"n_small": N_SMALL, "n_big": N_BIG, "mult": mult}
+    for job in ("pyramid", "minhash", "spjoin"):
+        ts = results[N_SMALL][f"{job}_sec"]
+        tb = results[N_BIG][f"{job}_sec"]
+        summary[f"{job}_eff"] = round((ts / tb) / (N_BIG / N_SMALL), 3)
+        summary[f"{job}_wall"] = [ts, tb]
+    summary["cpu_ceiling"] = cpu_ceiling()
     print(json.dumps(summary))
 
 

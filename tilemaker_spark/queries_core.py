@@ -156,6 +156,40 @@ def q_a7_line_len2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return open_ways.select("way_id", len2.alias("sum_seg_len2"))
 
 
+def q_a6_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 LayerAsCentroid: area-weighted multipolygon centroid
+    (reference: src/osm_lua_processing.cpp:263-325). The synthetic
+    relations are symmetric octagons, so the oracle knows the exact
+    center; the Spark side runs the general kernel."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .kernels import geomops, geompack
+
+    nodes, ways, rels = _stores(spark, sf_dir)
+    rf = classify.classify_relations(rels)
+    wc = assemble.ways_with_coords(ways, nodes)
+    geoms = assemble.assemble_relation_geometries(rf, rels, wc)
+
+    @pandas_udf("struct<cx:double, cy:double>")
+    def centroid(geom):
+        rows = []
+        for buf in geom:
+            _, polys = geompack.unpack(bytes(buf))
+            rings_f = [[(x / 1e7, y / 1e7) for x, y in rings] for rings in polys]
+            cx, cy = geomops.multipolygon_centroid(
+                [[(pd.Series(x).to_numpy(), pd.Series(y).to_numpy())
+                  for x, y in rings] for rings in rings_f])
+            rows.append({"cx": cx, "cy": cy})
+        return pd.DataFrame(rows)
+
+    r4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0
+    return (geoms.withColumn("c", centroid("geom"))
+            .select(F.col("object_id").alias("rel_id"),
+                    r4(F.col("c.cx")).alias("cx4"),
+                    r4(F.col("c.cy")).alias("cy4")))
+
+
 def q_u1_layer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 multi-source union + per-layer aggregation."""
     feats = q_classify_features(spark, sf_dir)
@@ -400,6 +434,12 @@ SELECT way_id,
       (a,b) -> a + b) AS BIGINT) AS sum_seg_len2
 FROM way_pts WHERE refs[1] <> refs[-1]
 """,
+    "a6_centroids": GEOCODE_CTE + """
+SELECT rid AS rel_id,
+  floor((CAST(lon0 AS DOUBLE)/10000000.0) * 10000.0 + 0.5) / 10000.0 AS cx4,
+  floor((CAST(latp0 AS DOUBLE)/10000000.0) * 10000.0 + 0.5) / 10000.0 AS cy4
+FROM polys WHERE h2 % 8 = 0
+""",
     "u1_layer_counts": GEOCODE_CTE + """
 SELECT layer, elem, count(*) AS n FROM (
   SELECT layer, elem FROM node_feats
@@ -431,6 +471,7 @@ QUERIES = {
     "j9_point_tiles": q_j9_point_tiles,
     "a1_tile_counts": q_a1_tile_counts,
     "a2_rollup_z6": q_a2_rollup_z6,
+    "a6_centroids": q_a6_centroids,
     "a7_poly_area": q_a7_poly_area,
     "a7_line_len2": q_a7_line_len2,
     "u1_layer_counts": q_u1_layer_counts,
