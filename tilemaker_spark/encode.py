@@ -125,8 +125,8 @@ def make_encoder(cfg: Config):
             # encode_zoom; python fallback for direct callers)
             if "_ak" not in g.columns:
                 g = g.assign(_ak=[_attrs_key(a) for a in g["attrs"]])
-            g = g.sort_values(["layer", "kind", "_ak", "object_id"], kind="mergesort")
-            g = g.drop_duplicates(["layer", "kind", "_ak", "object_id"])
+            g = g.sort_values(["layer", "kind", "_ak", "elem", "object_id"], kind="mergesort")
+            g = g.drop_duplicates(["layer", "kind", "_ak", "elem", "object_id"])
 
             vt_layers = []
             n_feats = 0
@@ -222,8 +222,12 @@ def make_layer_encoder(cfg: Config):
                     continue  # F7
             if "_ak" not in g.columns:
                 g = g.assign(_ak=[_attrs_key(a) for a in g["attrs"]])
-            g = g.sort_values(["layer", "kind", "_ak", "object_id"], kind="mergesort")
-            g = g.drop_duplicates(["layer", "kind", "_ak", "object_id"])
+            # elem is part of the identity: way and relation id spaces
+            # overlap in the geocoder, and without it the dedup winner
+            # was partition-order dependent (observed as a ±1 feature
+            # count between runs)
+            g = g.sort_values(["layer", "kind", "_ak", "elem", "object_id"], kind="mergesort")
+            g = g.drop_duplicates(["layer", "kind", "_ak", "elem", "object_id"])
 
             order_idx, group = group_index[out_layer]
             dicts = mvt.LayerDicts()

@@ -150,22 +150,30 @@ def shingle_rows(docs: DataFrame) -> DataFrame:
     return staged.select("doc_id", F.explode(F.array_distinct("sh")).alias("shingle"))
 
 
-def with_minhash(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) distinct shingle-hash rows — the relational currency
+    for both signature building and Jaccard refinement."""
+    return (shingle_rows(docs)
+            .select("doc_id", token_hash(F.col("shingle")).alias("h"))
+            .distinct())
+
+
+def with_minhash(docs: DataFrame, k: int = MINHASH_K,
+                 hashes: DataFrame | None = None) -> DataFrame:
     """MinHash signatures computed RELATIONALLY: explode shingles, hash
     each once, groupBy(doc_id) with k min-aggregates. Map-side partial
     aggregation shrinks the shuffle to one row per (mapper, doc) — the
     shape that survives 10^12 docs (vs. per-row array math whose
-    expression tree breaks whole-stage codegen)."""
-    rows = shingle_rows(docs)
-    hh = rows.select("doc_id", "shingle",
-                     (token_hash(F.col("shingle")) % F.lit(MINHASH_P)).alias("hh"))
+    expression tree breaks whole-stage codegen). Pass a precomputed
+    (doc_id, h) table to share the shingle scan with other consumers."""
+    hh = (hashes if hashes is not None else shingle_hashes(docs))         .withColumn("hh", F.col("h") % F.lit(MINHASH_P))
     aggs = [F.min((F.lit(a) * F.col("hh") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
             for j, (a, b) in enumerate(minhash_coeffs(k))]
-    aggs.append(F.collect_set("shingle").alias("shingles"))
+    aggs.append(F.count(F.lit(1)).alias("n_sh"))
     g = hh.groupBy("doc_id").agg(*aggs)
     return g.select("doc_id",
                     F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig"),
-                    "shingles")
+                    "n_sh")
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K,
@@ -177,7 +185,14 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K,
     bands×n rows and never goes O(n²); hot buckets are bounded by the
     band-key entropy (and AQE skew-split handles stragglers)."""
     rows = k // bands
-    sigs = with_minhash(docs, k)
+    # materialize the two reused intermediates: hh feeds the signature
+    # build AND the refine joins; sigs feeds both sides of the band
+    # self-join plus the count lookups. Without the checkpoints Catalyst
+    # re-executes each subtree per consumer (measured: 26 s of actual
+    # work ballooning to 230 s). On a cluster these are the natural
+    # Iceberg stage-checkpoint boundaries.
+    hh = shingle_hashes(docs).localCheckpoint()
+    sigs = with_minhash(docs, k, hashes=hh).localCheckpoint()
     band_rows = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -191,16 +206,28 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K,
     cand = (a.join(b, ["band", "key"])
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-             .distinct())
-    # refine: join each candidate pair back to its (small) shingle sets
-    sh = sigs.select("doc_id", "shingles")
+             .distinct()
+             .localCheckpoint())
+    # refine RELATIONALLY: intersection sizes via a hash equi-join +
+    # groupBy (partial agg), never materializing shingle arrays per
+    # pair — carrying collect_set arrays through a wide candidate join
+    # was GC-bound (heap grows with parallelism; measured: local[2]
+    # beat local[8] before this change)
+    inter = (cand
+             .join(hh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+             .join(hh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter")))
+    counts = sigs.select("doc_id", "n_sh")
     pairs = (cand
-             .join(sh.select(F.col("doc_id").alias("doc_a"),
-                             F.col("shingles").alias("sh_a")), "doc_a")
-             .join(sh.select(F.col("doc_id").alias("doc_b"),
-                             F.col("shingles").alias("sh_b")), "doc_b")
+             .join(counts.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("n_sh").alias("n_a")), "doc_a")
+             .join(counts.select(F.col("doc_id").alias("doc_b"),
+                                 F.col("n_sh").alias("n_b")), "doc_b")
+             .join(inter, ["doc_a", "doc_b"], "left")
+             .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
              .select("doc_a", "doc_b",
-                     jaccard(F.col("sh_a"), F.col("sh_b")).alias("jac")))
+                     r6(F.col("n_inter").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")).alias("jac")))
     return pairs.where(F.col("jac") >= threshold)
 
 
