@@ -118,13 +118,17 @@ def main() -> None:
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
         print(line, flush=True)
+    try:
+        ceiling = cpu_ceiling()
+    except Exception as e:
+        ceiling = {"error": str(e)[:100]}
     summary = {"n_small": N_SMALL, "n_big": N_BIG, "mult": mult}
     for job in ("pyramid", "minhash", "spjoin"):
         ts = results[N_SMALL][f"{job}_sec"]
         tb = results[N_BIG][f"{job}_sec"]
         summary[f"{job}_eff"] = round((ts / tb) / (N_BIG / N_SMALL), 3)
         summary[f"{job}_wall"] = [ts, tb]
-    summary["cpu_ceiling"] = cpu_ceiling()
+    summary["cpu_ceiling"] = ceiling
     print(json.dumps(summary))
 
 

@@ -40,10 +40,11 @@ QUERIES = {
 
 _DISTRICT_CTE = """
 , districts AS (
-  SELECT gx*100 + gy AS district_id,
-         94750000 + gx*400000 AS cx,
-         534700000 + gy*400000 AS cy
-  FROM (SELECT unnest(range(4)) AS gx), (SELECT unnest(range(8)) AS gy)
+  SELECT region*1000 + gx*100 + gy AS district_id,
+         94750000 + (region % 8)*2000000 + gx*400000 AS cx,
+         534700000 + (region // 8)*2000000 + gy*400000 AS cy
+  FROM (SELECT unnest(range(64)) AS region),
+       (SELECT unnest(range(4)) AS gx), (SELECT unnest(range(8)) AS gy)
 )
 """
 

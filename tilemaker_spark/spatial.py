@@ -126,15 +126,20 @@ def cells_to_ranges(cells: np.ndarray):
 
 def district_table(spark: SparkSession) -> DataFrame:
     """Deterministic diamond reference polygons (the shapefile-layer
-    stand-in, cf. S8 src/read_shp.cpp:101-249). Tiny -> broadcast."""
+    stand-in, cf. S8 src/read_shp.cpp:101-249), replicated across the
+    geocoder's 8x8 region blocks — 2048 polygons, still tiny enough to
+    broadcast."""
     rows = []
-    for gx in range(DIST_NX):
-        for gy in range(DIST_NY):
-            cx = DIST_X0 + gx * DIST_PITCH
-            cy = DIST_Y0 + gy * DIST_PITCH
-            ring_lon = [cx + DIST_R, cx, cx - DIST_R, cx, cx + DIST_R]
-            ring_latp = [cy, cy + DIST_R, cy, cy - DIST_R, cy]
-            rows.append((gx * 100 + gy, cx, cy, ring_lon, ring_latp))
+    for region in range(64):
+        rx = (region % 8) * 2000000
+        ry = (region // 8) * 2000000
+        for gx in range(DIST_NX):
+            for gy in range(DIST_NY):
+                cx = DIST_X0 + rx + gx * DIST_PITCH
+                cy = DIST_Y0 + ry + gy * DIST_PITCH
+                ring_lon = [cx + DIST_R, cx, cx - DIST_R, cx, cx + DIST_R]
+                ring_latp = [cy, cy + DIST_R, cy, cy - DIST_R, cy]
+                rows.append((region * 1000 + gx * 100 + gy, cx, cy, ring_lon, ring_latp))
     return spark.createDataFrame(
         rows, "district_id INT, cx INT, cy INT, ring_lon ARRAY<INT>, ring_latp ARRAY<INT>")
 
