@@ -61,7 +61,8 @@ def assemble_way_geometries(features: DataFrame, way_coords: DataFrame) -> DataF
 
 _REL_GEOM_SCHEMA = (
     "object_id long, elem string, layer string, kind int, "
-    "attrs map<string,string>, as_centroid boolean, geom binary, "
+    "attrs map<string,string>, attrs_num map<string,double>, "
+    "attrs_bool map<string,boolean>, as_centroid boolean, geom binary, "
     "feat_minzoom int"
 )
 
@@ -83,7 +84,8 @@ def assemble_relation_geometries(rel_features: DataFrame, relations: DataFrame,
 
     mem_coords = members.join(way_coords, "way_id", "left")
     feat = rel_features.select(
-        F.col("object_id").alias("rel_id"), "elem", "layer", "kind", "attrs", "as_centroid")
+        F.col("object_id").alias("rel_id"), "elem", "layer", "kind",
+        "attrs", "attrs_num", "attrs_bool", "as_centroid")
     grouped = mem_coords.join(feat, "rel_id")
 
     def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -131,12 +133,13 @@ def assemble_relation_geometries(rel_features: DataFrame, relations: DataFrame,
             out_rows.append({
                 "object_id": int(rel_id), "elem": first["elem"], "layer": first["layer"],
                 "kind": int(first["kind"]), "attrs": first["attrs"],
+                "attrs_num": first["attrs_num"], "attrs_bool": first["attrs_bool"],
                 "as_centroid": bool(first["as_centroid"]),
                 "geom": geompack.pack_polygon(polys),
                 "feat_minzoom": feature_minzoom_py(3, area2, 0),
             })
-        cols = ["object_id", "elem", "layer", "kind", "attrs", "as_centroid", "geom",
-                "feat_minzoom"]
+        cols = ["object_id", "elem", "layer", "kind", "attrs", "attrs_num",
+                "attrs_bool", "as_centroid", "geom", "feat_minzoom"]
         return pd.DataFrame(out_rows, columns=cols)
 
     return grouped.groupBy("rel_id").applyInPandas(_assemble, schema=_REL_GEOM_SCHEMA)
@@ -234,7 +237,8 @@ def assemble_features(nodes: DataFrame, ways: DataFrame, relations: DataFrame,
     the common case and skip binary packing entirely.
     """
     point_features = node_feats.select(
-        "object_id", "elem", "layer", "kind", "attrs", "as_centroid",
+        "object_id", "elem", "layer", "kind", "attrs", "attrs_num", "attrs_bool",
+        "as_centroid",
         F.lit(None).cast("binary").alias("geom"), "lon", "latp",
         F.lit(0).alias("feat_minzoom"))
 
@@ -254,12 +258,14 @@ def assemble_features(nodes: DataFrame, ways: DataFrame, relations: DataFrame,
            .otherwise(F.lit(0))
     wf = wf.withColumn("feat_minzoom", fmz)
     wf_packed = pack_way_geometries(wf).select(
-        "object_id", "elem", "layer", "kind", "attrs", "as_centroid", "geom",
+        "object_id", "elem", "layer", "kind", "attrs", "attrs_num", "attrs_bool",
+        "as_centroid", "geom",
         F.lit(None).cast("int").alias("lon"), F.lit(None).cast("int").alias("latp"),
         "feat_minzoom")
 
     rf = assemble_relation_geometries(rel_feats, relations, way_coords).select(
-        "object_id", "elem", "layer", "kind", "attrs", "as_centroid", "geom",
+        "object_id", "elem", "layer", "kind", "attrs", "attrs_num", "attrs_bool",
+        "as_centroid", "geom",
         F.lit(None).cast("int").alias("lon"), F.lit(None).cast("int").alias("latp"),
         "feat_minzoom")
 

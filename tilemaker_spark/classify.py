@@ -44,29 +44,39 @@ class Rule:
     pred: Column
     kind: int                       # emitted geometry kind for this rule
     elem: str                       # 'node' | 'way' | 'relation'
-    attrs: dict = field(default_factory=dict)   # attr name -> Column
+    attrs: dict = field(default_factory=dict)   # Attribute(): name -> Column (string)
+    num_attrs: dict = field(default_factory=dict)   # AttributeNumeric() -> double
+    bool_attrs: dict = field(default_factory=dict)  # AttributeBoolean() -> boolean
     as_centroid: bool = False       # LayerAsCentroid (A6)
 
 
-def _emission(rule: Rule) -> Column:
-    names = list(rule.attrs.keys())
-    # empty-string attribute values dropped (osm_lua_processing.cpp:329):
-    # map_filter on the built map
-    attr_map = (
-        F.map_filter(
-            F.map_from_arrays(
-                F.array(*[F.lit(n) for n in names]),
-                F.array(*[rule.attrs[n].cast("string") for n in names]),
-            ),
-            lambda k, v: v.isNotNull() & (v != ""),
-        )
-        if names
-        else F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
+def _typed_map(attrs: dict, spark_type: str, drop_empty: bool) -> Column:
+    names = list(attrs.keys())
+    if not names:
+        return F.map_from_arrays(F.array().cast("array<string>"),
+                                 F.array().cast(f"array<{spark_type}>"))
+    m = F.map_from_arrays(
+        F.array(*[F.lit(n) for n in names]),
+        F.array(*[attrs[n].cast(spark_type) for n in names]),
     )
+    # empty-string attribute values dropped (osm_lua_processing.cpp:329);
+    # null numerics/booleans (failed casts, like Lua tonumber(nil)) too
+    if drop_empty:
+        return F.map_filter(m, lambda k, v: v.isNotNull() & (v != ""))
+    return F.map_filter(m, lambda k, v: v.isNotNull())
+
+
+def _emission(rule: Rule) -> Column:
+    """One Layer() emission: string attrs (Attribute), numeric attrs as
+    double (AttributeNumeric -> Tile_Value float arm) and boolean attrs
+    (AttributeBoolean -> bool arm); reference:
+    src/osm_lua_processing.cpp:327-356."""
     payload = F.struct(
         F.lit(rule.layer).alias("layer"),
         F.lit(rule.kind).alias("kind"),
-        attr_map.alias("attrs"),
+        _typed_map(rule.attrs, "string", True).alias("attrs"),
+        _typed_map(rule.num_attrs, "double", False).alias("attrs_num"),
+        _typed_map(rule.bool_attrs, "boolean", False).alias("attrs_bool"),
         F.lit(rule.as_centroid).alias("as_centroid"),
     )
     return F.when(rule.pred, payload).otherwise(F.lit(None))
@@ -80,7 +90,11 @@ def default_node_rules() -> list:
                                   F.element_at(F.col("tags"), "shop")),
               "name": tag("name")}),
         Rule("place", holds("place"), KIND_POINT, "node",
-             {"class": tag("place"), "name": tag("name")}),
+             {"class": tag("place"), "name": tag("name")},
+             # AttributeNumeric: rank derived from the name, like the
+             # openmaptiles profile's numeric rank attributes
+             # (src/osm_lua_processing.cpp:335-344)
+             num_attrs={"rank": F.length(tag("name")).cast("double")}),
     ]
 
 
@@ -90,7 +104,9 @@ def default_way_rules() -> list:
     closed = F.col("is_closed")
     return [
         Rule("transportation", holds("highway"), KIND_LINE, "way",
-             {"class": tag("highway")}),
+             {"class": tag("highway")},
+             # AttributeBoolean (src/osm_lua_processing.cpp:350-356)
+             bool_attrs={"paved": tag("highway").isin("primary", "secondary")}),
         Rule("waterway", holds("waterway") & ~closed, KIND_LINE, "way",
              {"class": tag("waterway")}),
         Rule("building", holds("building") & closed, KIND_POLYGON, "way", {}),
@@ -125,7 +141,10 @@ def classify_nodes(nodes: DataFrame, rules: list | None = None) -> DataFrame:
         )
         .select("object_id", "elem", "lon", "latp",
                 F.col("e.layer").alias("layer"), F.col("e.kind").alias("kind"),
-                F.col("e.attrs").alias("attrs"), F.col("e.as_centroid").alias("as_centroid"))
+                F.col("e.attrs").alias("attrs"),
+                F.col("e.attrs_num").alias("attrs_num"),
+                F.col("e.attrs_bool").alias("attrs_bool"),
+                F.col("e.as_centroid").alias("as_centroid"))
     )
 
 
@@ -143,7 +162,10 @@ def classify_ways(ways: DataFrame, rules: list | None = None) -> DataFrame:
                  F.explode(emissions).alias("e"))
         .select("object_id", "elem",
                 F.col("e.layer").alias("layer"), F.col("e.kind").alias("kind"),
-                F.col("e.attrs").alias("attrs"), F.col("e.as_centroid").alias("as_centroid"))
+                F.col("e.attrs").alias("attrs"),
+                F.col("e.attrs_num").alias("attrs_num"),
+                F.col("e.attrs_bool").alias("attrs_bool"),
+                F.col("e.as_centroid").alias("as_centroid"))
     )
 
 
@@ -158,5 +180,8 @@ def classify_relations(relations: DataFrame, rules: list | None = None) -> DataF
                  F.explode(emissions).alias("e"))
         .select("object_id", "elem",
                 F.col("e.layer").alias("layer"), F.col("e.kind").alias("kind"),
-                F.col("e.attrs").alias("attrs"), F.col("e.as_centroid").alias("as_centroid"))
+                F.col("e.attrs").alias("attrs"),
+                F.col("e.attrs_num").alias("attrs_num"),
+                F.col("e.attrs_bool").alias("attrs_bool"),
+                F.col("e.as_centroid").alias("as_centroid"))
     )

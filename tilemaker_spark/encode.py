@@ -1,20 +1,36 @@
 """Per-tile MVT encode stage (A4/A5/A8, F8/F9, G5-G18, W3/W4).
 
-One applyInPandas over groupBy(z, x, y): inside each group the full
-reference tile-worker flow (src/tile_worker.cpp:102-254) runs
-vectorized per feature:
+Streaming encoder: instead of groupBy().applyInPandas (one Python/Arrow
+round-trip per tile-layer group — measured ~2-4 ms of pure pandas
+machinery per group, the round-1 scale-killer), the plan is
 
-  sort/dedup (A4, src/tile_data.cpp:125-136)
+  repartition(z, x, y, _out_layer)          -- same shuffle as groupBy
+  .sortWithinPartitions(group key + A4 key) -- JVM-side radix/Tim sort
+  .mapInPandas(stream encoder)              -- big Arrow batches
+
+so the Python side receives thousands of rows per batch and walks the
+contiguous (z, x, y, out_layer) runs with numpy; groups that straddle an
+Arrow batch boundary are carried into the next batch. Inside each group
+the reference tile-worker flow (src/tile_worker.cpp:102-254) runs:
+
+  sort/dedup (A4, src/tile_data.cpp:125-136 — sort done by Spark)
   -> per output-layer group in declaration order (W4)
   -> zoom-range filter (F8) + simplify tolerance (src/tile_worker.cpp:167-176)
   -> clip (G7-G9, src/output_object.cpp:25-74)
-  -> optional same-attribute merge (A5, --combine)
+  -> optional same-attribute merge (A5, --combine): true even-odd
+     polygon union of the CLIPPED geometries (G15,
+     src/tile_worker.cpp:21-64 + src/helpers.cpp:108-230) and
+     linestring part union (src/tile_worker.cpp:66-99)
   -> Douglas-Peucker (G10) -> 4096-grid scale (G6)
-  -> MVT command stream (G16) + attr dictionaries (A8/G17)
-  -> protobuf + gzip (G18)
+  -> MVT command stream (G16, vectorized delta/varint writers)
+     + attr dictionaries (A8/G17)
+  -> protobuf framing; cross-layer W4 ordering + gzip (G18) assemble
+     in Catalyst.
 
-Returns (z, x, y, tile BINARY, feature_count, geometry_hash) — the
-metrics columns feed the lineage table (north_rule).
+Attribute values are typed (F6): string attrs in ``attrs``, numeric in
+``attrs_num``, boolean in ``attrs_bool`` — emitted as the matching
+Tile_Value arms (include/vector_tile.proto:16-27), mirroring
+AttributeNumeric/AttributeBoolean (src/osm_lua_processing.cpp:335-356).
 """
 
 from __future__ import annotations
@@ -28,57 +44,51 @@ from pyspark.sql import DataFrame
 from .config import Config
 from .kernels import clip as C, geomops, geompack, mercator as M, mvt, simplify as S
 
-ENCODE_SCHEMA = ("z int, x long, y long, tile binary, feature_count int, "
-                 "geometry_hash long, raw_bytes int")
+LAYER_GROUP_SCHEMA = ("z int, x long, y long, order_idx int, layer_bytes binary, "
+                      "feature_count int, layer_hash long, raw_bytes int")
+
+_SORT_COLS = ["z", "x", "y", "_out_layer", "layer", "kind", "_ak", "elem", "object_id"]
+_OUT_COLS = ["z", "x", "y", "order_idx", "layer_bytes", "feature_count",
+             "layer_hash", "raw_bytes"]
 
 
-def _attrs_key(attrs: dict) -> str:
+def _attrs_key(sattrs: dict, nattrs: dict | None = None,
+               battrs: dict | None = None) -> str:
     """Canonical attribute sort key (A4) — mirrors the reference's
-    lexicographic Tile_Value compare (src/output_object.cpp:154-176)."""
-    if not attrs:
-        return ""
-    return "\x1f".join(f"{k}\x1e{attrs[k]}" for k in sorted(attrs))
+    typed Tile_Value compare (src/output_object.cpp:154-176): entries
+    sorted by key with a type marker so 's'/'f'/'b' arms never collide.
+    Must stay in sync with the Catalyst `_ak` expression in encode_zoom."""
+    entries = [f"{k}\x1es\x1d{v}" for k, v in (sattrs or {}).items()]
+    entries += [f"{k}\x1ef\x1d{_fmt_num(v)}" for k, v in (nattrs or {}).items()]
+    entries += [f"{k}\x1eb\x1d{str(bool(v)).lower()}" for k, v in (battrs or {}).items()]
+    return "\x1f".join(sorted(entries))
 
 
-def _scale_ring(bb: M.TileBbox, lons: np.ndarray, latps: np.ndarray):
-    return bb.scale_latp_lon(latps, lons)
+def _fmt_num(v: float) -> str:
+    """Float canonical text — integral values print without '.0' to match
+    Catalyst's CAST(double AS STRING) for whole numbers."""
+    f = float(v)
+    return str(int(f)) if f == int(f) and abs(f) < 1e15 else repr(f)
 
 
-def _encode_feature_geom(row, bb: M.TileBbox, tol: float, include_centroid: bool):
-    """-> (geom_type, command list) or None if clipped/degenerate away."""
-    kind = row["kind"]
-    box = bb.clip_box
-    if kind == 1 or row["as_centroid"]:
-        if row["as_centroid"] and row["geom"] is not None:
-            gk, payload = geompack.unpack(bytes(row["geom"]))
-            rings_f = [[(lo / 1e7, la / 1e7) for lo, la in rings] for rings in payload]
-            cx, cy = geomops.multipolygon_centroid(
-                [[(np.asarray(x), np.asarray(y)) for x, y in rings] for rings in rings_f])
-        else:
-            cx, cy = row["lon"] / 1e7, row["latp"] / 1e7
-        if not C.clip_point(cx, cy, box):
-            return None
-        px, py = bb.scale_latp_lon(np.array([cy]), np.array([cx]))
-        return mvt.GEOM_POINT, mvt.encode_point_geometry(int(px[0]), int(py[0]))
+# ------------------------------------------------------- geometry encoding
 
-    gk, payload = geompack.unpack(bytes(row["geom"]))
-    if kind == 2:  # multilinestring
-        parts = []
-        for lo, la in payload:
-            pieces = C.clip_line(lo / 1e7, la / 1e7, box)
-            for xs, ys in pieces:
-                if tol > 0.0:
-                    xs, ys = S.simplify_line(xs, ys, tol)
-                parts.append(_scale_ring(bb, xs, ys))
-        cmds = mvt.encode_line_geometry(parts)
-        return (mvt.GEOM_LINESTRING, cmds) if cmds else None
-
-    # polygon
+def _clip_polygon(payload, box, repair: bool = True):
+    """Clip a packed multipolygon payload to box -> list of polygons,
+    each a list of (xs, ys) float-degree rings (closed). G9 + G12."""
     polys = []
     for rings in payload:
         out_rings = []
         for ri, (lo, la) in enumerate(rings):
             xs, ys = lo / 1e7, la / 1e7
+            if repair:
+                res = geomops.remove_spikes(xs, ys)
+                if res is None:
+                    if ri == 0:
+                        out_rings = []
+                        break
+                    continue
+                xs, ys = res
             if not C.ring_within_box(xs, ys, box):
                 res = C.clip_ring(xs, ys, box)
                 if res is None:
@@ -88,220 +98,303 @@ def _encode_feature_geom(row, bb: M.TileBbox, tol: float, include_centroid: bool
                     continue
                 xs, ys = res
                 xs, ys = geomops.correct_winding(xs, ys, outer=(ri == 0))
+            out_rings.append((xs, ys))
+        if out_rings:
+            polys.append(out_rings)
+    return polys
+
+
+def _polys_to_cmds(polys, bb, tol):
+    """Simplify + pixel-scale + delta-encode clipped polygons -> int64
+    command array or None."""
+    last_pos = [0, 0]
+    parts = []
+    for rings in polys:
+        for ri, (xs, ys) in enumerate(rings):
             if tol > 0.0:
                 res = S.simplify_ring(xs, ys, tol)
                 if res is None:
                     if ri == 0:
-                        out_rings = []
                         break
                     continue
                 xs, ys = res
-            out_rings.append(_scale_ring(bb, xs, ys))
-        if out_rings:
-            polys.append(out_rings)
-    cmds = mvt.encode_polygon_geometry(polys)
-    return (mvt.GEOM_POLYGON, cmds) if cmds else None
+            px, py = bb.scale_latp_lon(ys, xs)
+            cmds = mvt.delta_string_cmds(px, py, last_pos, True)
+            if cmds is not None:
+                parts.append(cmds)
+    if not parts:
+        return None
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
 
-def make_encoder(cfg: Config):
-    """Returns the applyInPandas function closure (cfg is tiny; it ships
-    in the pickled closure — the broadcast-variable pattern without the
-    SparkContext dependency)."""
-    layer_order = cfg.layer_order
+def _line_to_cmds(payload, box, bb, tol):
+    """Clip + simplify + scale + delta-encode a packed multilinestring."""
+    last_pos = [0, 0]
+    parts = []
+    for lo, la in payload:
+        for xs, ys in C.clip_line(lo / 1e7, la / 1e7, box):
+            if tol > 0.0:
+                xs, ys = S.simplify_line(xs, ys, tol)
+            px, py = bb.scale_latp_lon(ys, xs)
+            cmds = mvt.delta_string_cmds(px, py, last_pos, False)
+            if cmds is not None:
+                parts.append(cmds)
+    if not parts:
+        return None
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+def _centroid_cmds(geom_buf, lonv, latpv, bb, box):
+    """Point / LayerAsCentroid feature -> command array or None (G7)."""
+    if geom_buf is not None:
+        gk, payload = geompack.unpack(bytes(geom_buf))
+        rings_f = [[(lo / 1e7, la / 1e7) for lo, la in rings] for rings in payload]
+        cx, cy = geomops.multipolygon_centroid(
+            [[(np.asarray(xx), np.asarray(yy)) for xx, yy in rings] for rings in rings_f])
+    else:
+        cx, cy = lonv / 1e7, latpv / 1e7
+    if not C.clip_point(cx, cy, box):
+        return None
+    px, py = bb.scale_latp_lon(np.array([cy]), np.array([cx]))
+    vx, vy = int(px[0]), int(py[0])
+    return np.array([9, (vx << 1) ^ (vx >> 63), (vy << 1) ^ (vy >> 63)],
+                    dtype=np.int64)
+
+
+# --------------------------------------------------------- stream encoder
+
+def make_stream_encoder(cfg: Config):
+    """mapInPandas function: iterator of sorted Arrow batches ->
+    iterator of encoded (tile, output-layer) rows. cfg is tiny and ships
+    in the pickled closure."""
     layers_cfg = cfg.layers
+    group_index = {group[0]: (i, group) for i, group in enumerate(cfg.layer_order)}
+    combine = cfg.combine_similar
+    include_ids = cfg.include_ids
+    bbox_cfg = cfg.bounding_box
+    mvt_version = cfg.mvt_version
 
-    def encode_tiles(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (z, x, y), g in pdf.groupby(["z", "x", "y"], sort=False):
-            z, x, y = int(z), int(x), int(y)
-            bb = M.TileBbox(x, y, z)
-            # F7: skip tiles wholly outside config bbox
-            if cfg.bounding_box is not None:
-                mnl, mnla, mxl, mxla = cfg.bounding_box
-                if mxl <= bb.min_lon or mnl >= bb.max_lon or \
-                   mxla <= bb.min_lat or mnla >= bb.max_lat:
-                    continue
-            # A4: canonical sort + dedup (_ak precomputed in Catalyst by
-            # encode_zoom; python fallback for direct callers)
-            if "_ak" not in g.columns:
-                g = g.assign(_ak=[_attrs_key(a) for a in g["attrs"]])
-            g = g.sort_values(["layer", "kind", "_ak", "elem", "object_id"], kind="mergesort")
-            g = g.drop_duplicates(["layer", "kind", "_ak", "elem", "object_id"])
+    def _encode_run(cols, s, e, out_rows):
+        """Encode one (z, x, y, out_layer) run of rows [s:e)."""
+        z = int(cols["z"][s])
+        x = int(cols["x"][s])
+        y = int(cols["y"][s])
+        out_layer = cols["ol"][s]
+        if out_layer not in group_index:
+            return
+        bb = M.TileBbox(x, y, z)
+        if bbox_cfg is not None:
+            mnl, mnla, mxl, mxla = bbox_cfg
+            if mxl <= bb.min_lon or mnl >= bb.max_lon or \
+               mxla <= bb.min_lat or mnla >= bb.max_lat:
+                return  # F7
+        box = bb.clip_box
+        layer_a = cols["layer"]
+        kind_a = cols["kind"]
+        ak_a = cols["ak"]
+        geom_a = cols["geom"]
+        lon_a = cols["lon"]
+        latp_a = cols["latp"]
+        attrs_a = cols["attrs"]
+        anum_a = cols["anum"]
+        abool_a = cols["abool"]
+        asc_a = cols["asc"]
+        oid_a = cols["oid"]
+        elem_a = cols["elem"]
 
-            vt_layers = []
-            n_feats = 0
-            ghash = 0
-            for group in layer_order:
-                dicts = mvt.LayerDicts()
-                feats = []
-                for sub in group:
-                    ld = layers_cfg[sub]
-                    if z < ld.minzoom or z > ld.maxzoom:
-                        continue  # F8
-                    rows = g[g["layer"] == sub]
-                    if rows.empty:
-                        continue
-                    tol = ld.simplify_tolerance(z, y)
-                    merged_rows = rows
-                    if cfg.combine_similar:
-                        # A5: same (kind, attrs) run merged into one
-                        # multi-geometry feature (concatenating parts)
-                        merged = []
-                        for (_, _ak), run in rows.groupby(["kind", "_ak"], sort=False):
-                            first = run.iloc[0].copy()
-                            if len(run) > 1 and first["kind"] in (2, 3) and first["geom"] is not None:
-                                bufs = [geompack.unpack(bytes(b)) for b in run["geom"]]
-                                if first["kind"] == 2:
-                                    parts = [p for _, pl in bufs for p in pl]
-                                    first["geom"] = geompack.pack_line(parts)
-                                else:
-                                    polys = [p for _, pl in bufs for p in pl]
-                                    first["geom"] = geompack.pack_polygon(polys)
-                                merged.append(first)
-                            else:
-                                merged.extend(r for _, r in run.iterrows())
-                        merged_rows = pd.DataFrame(merged) if merged else rows.iloc[0:0]
-                    for row in merged_rows.to_dict("records"):
-                        res = _encode_feature_geom(row, bb, tol, False)
-                        if res is None:
-                            continue  # F9 / G7 drop
-                        gt, cmds = res
-                        tag_idx = []
-                        for k in sorted(row["attrs"] or {}):
-                            tag_idx.append(dicts.key_index(k))
-                            tag_idx.append(dicts.value_index(row["attrs"][k]))
-                        feats.append(mvt.encode_feature(
-                            gt, cmds, tag_idx,
-                            feature_id=int(row["object_id"]) if cfg.include_ids else None))
-                        n_feats += 1
-                        ghash = (ghash * 1000003 + zlib.crc32(bytes(np.array(cmds, dtype=np.int64))) + gt) & 0x7FFFFFFFFFFFFFFF
-                if feats:
-                    vt_layers.append(mvt.encode_layer(
-                        group[0], feats, dicts.keys, dicts.values,
-                        version=cfg.mvt_version))
-            # NB: the reference writes the tile file even when every layer
-            # filtered out (src/tile_worker.cpp:229-250) — keep the row
-            # with an empty Tile message for exact tile-set parity
-            raw = mvt.encode_tile(vt_layers)
-            data = mvt.compress_tile(raw, use_gzip=cfg.gzip) if cfg.compress else raw
-            out.append({"z": z, "x": x, "y": y, "tile": data,
-                        "feature_count": n_feats,
-                        "geometry_hash": int(ghash),
-                        "raw_bytes": len(raw)})
-        cols = ["z", "x", "y", "tile", "feature_count", "geometry_hash", "raw_bytes"]
-        return pd.DataFrame(out, columns=cols)
+        # A4 dedup: rows arrive sorted by (layer, kind, _ak, elem,
+        # object_id); keep first of each adjacent-equal run. elem is part
+        # of the identity — way and relation id spaces overlap.
+        idx = np.arange(s, e)
+        if e - s > 1:
+            dup = ((layer_a[s + 1:e] == layer_a[s:e - 1])
+                   & (kind_a[s + 1:e] == kind_a[s:e - 1])
+                   & (ak_a[s + 1:e] == ak_a[s:e - 1])
+                   & (elem_a[s + 1:e] == elem_a[s:e - 1])
+                   & (oid_a[s + 1:e] == oid_a[s:e - 1]))
+            idx = idx[np.concatenate(([True], ~dup))]
 
-    return encode_tiles
+        order_idx, group = group_index[out_layer]
+        dicts = mvt.LayerDicts()
+        feats = []
+        n_feats = 0
+        ghash = 0
 
+        def emit(gt, cmds, row_i):
+            nonlocal n_feats, ghash
+            tag_idx = []
+            sattrs = attrs_a[row_i]
+            if sattrs:
+                for k in sorted(sattrs):
+                    tag_idx.append(dicts.key_index(k))
+                    tag_idx.append(dicts.value_index(sattrs[k]))
+            nattrs = anum_a[row_i] if anum_a is not None else None
+            if nattrs:
+                for k in sorted(nattrs):
+                    tag_idx.append(dicts.key_index(k))
+                    tag_idx.append(dicts.value_index(float(nattrs[k])))
+            battrs = abool_a[row_i] if abool_a is not None else None
+            if battrs:
+                for k in sorted(battrs):
+                    tag_idx.append(dicts.key_index(k))
+                    tag_idx.append(dicts.value_index(bool(battrs[k])))
+            geom_bytes = mvt.varint_array(cmds)
+            feats.append(mvt.encode_feature_raw(
+                gt, geom_bytes, tag_idx,
+                feature_id=int(oid_a[row_i]) if include_ids else None))
+            n_feats += 1
+            ghash = (ghash * 1000003 + zlib.crc32(cmds.tobytes()) + gt) \
+                & 0x7FFFFFFFFFFFFFFF
 
-LAYER_GROUP_SCHEMA = ("z int, x long, y long, order_idx int, layer_bytes binary, "
-                      "feature_count int, layer_hash long, raw_bytes int")
-
-
-def make_layer_encoder(cfg: Config):
-    """Per-(tile, OUTPUT-layer) encoder — the skew answer for metro
-    tiles: MVT layers are independent (sort/dedup A4, merge A5 and the
-    key/value dictionaries A8 are all per-layer), so encoding them as
-    separate groups multiplies parallelism by the layer count and
-    bounds the largest group at 1/n_layers of the hottest tile. The
-    cheap cross-layer work (W4 ordering, protobuf framing, gzip) moves
-    to assemble_tiles."""
-    layer_order = cfg.layer_order
-    layers_cfg = cfg.layers
-    group_index = {group[0]: (i, group) for i, group in enumerate(layer_order)}
-
-    def encode_layer_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (z, x, y, out_layer), g in pdf.groupby(["z", "x", "y", "_out_layer"], sort=False):
-            z, x, y = int(z), int(x), int(y)
-            bb = M.TileBbox(x, y, z)
-            if cfg.bounding_box is not None:
-                mnl, mnla, mxl, mxla = cfg.bounding_box
-                if mxl <= bb.min_lon or mnl >= bb.max_lon or \
-                   mxla <= bb.min_lat or mnla >= bb.max_lat:
-                    continue  # F7
-            if "_ak" not in g.columns:
-                g = g.assign(_ak=[_attrs_key(a) for a in g["attrs"]])
-            # elem is part of the identity: way and relation id spaces
-            # overlap in the geocoder, and without it the dedup winner
-            # was partition-order dependent (observed as a ±1 feature
-            # count between runs)
-            g = g.sort_values(["layer", "kind", "_ak", "elem", "object_id"], kind="mergesort")
-            g = g.drop_duplicates(["layer", "kind", "_ak", "elem", "object_id"])
-
-            order_idx, group = group_index[out_layer]
-            dicts = mvt.LayerDicts()
-            feats = []
-            n_feats = 0
-            ghash = 0
-            for sub in group:
-                ld = layers_cfg[sub]
-                if z < ld.minzoom or z > ld.maxzoom:
-                    continue  # F8
-                rows = g[g["layer"] == sub]
-                if rows.empty:
-                    continue
-                tol = ld.simplify_tolerance(z, y)
-                merged_rows = rows
-                if cfg.combine_similar:
-                    merged = []
-                    for (_, _ak), run in rows.groupby(["kind", "_ak"], sort=False):
-                        first = run.iloc[0].copy()
-                        if len(run) > 1 and first["kind"] in (2, 3) and first["geom"] is not None:
-                            bufs = [geompack.unpack(bytes(b)) for b in run["geom"]]
-                            if first["kind"] == 2:
-                                parts = [p for _, pl in bufs for p in pl]
-                                first["geom"] = geompack.pack_line(parts)
-                            else:
-                                polys = [p for _, pl in bufs for p in pl]
-                                first["geom"] = geompack.pack_polygon(polys)
-                            merged.append(first)
-                        else:
-                            merged.extend(r for _, r in run.iterrows())
-                    merged_rows = pd.DataFrame(merged) if merged else rows.iloc[0:0]
-                for row in merged_rows.to_dict("records"):
-                    res = _encode_feature_geom(row, bb, tol, False)
-                    if res is None:
-                        continue  # F9 / G7 drop
-                    gt, cmds = res
-                    tag_idx = []
-                    for k in sorted(row["attrs"] or {}):
-                        tag_idx.append(dicts.key_index(k))
-                        tag_idx.append(dicts.value_index(row["attrs"][k]))
-                    feats.append(mvt.encode_feature(
-                        gt, cmds, tag_idx,
-                        feature_id=int(row["object_id"]) if cfg.include_ids else None))
-                    n_feats += 1
-                    ghash = (ghash * 1000003 + zlib.crc32(bytes(np.array(cmds, dtype=np.int64))) + gt) & 0x7FFFFFFFFFFFFFFF
-            if not feats:
+        for sub in group:
+            ld = layers_cfg[sub]
+            if z < ld.minzoom or z > ld.maxzoom:
+                continue  # F8 (backstop; encode_zoom pre-filters)
+            sel = idx[layer_a[idx] == sub]
+            if len(sel) == 0:
                 continue
-            layer_msg = mvt.encode_layer(group[0], feats, dicts.keys, dicts.values,
-                                         version=cfg.mvt_version)
-            framed = mvt.encode_tile([layer_msg])  # Tile.layers framing
-            out.append({"z": z, "x": x, "y": y, "order_idx": order_idx,
-                        "layer_bytes": framed, "feature_count": n_feats,
-                        "layer_hash": int(ghash), "raw_bytes": len(framed)})
-        cols = ["z", "x", "y", "order_idx", "layer_bytes", "feature_count",
-                "layer_hash", "raw_bytes"]
-        return pd.DataFrame(out, columns=cols)
+            tol = ld.simplify_tolerance(z, y)
+            i = 0
+            n_sel = len(sel)
+            while i < n_sel:
+                ri = sel[i]
+                kindv = int(kind_a[ri])
+                # A5 --combine: adjacent same-(kind, attrs) run -> one
+                # merged feature (reference: CheckNextObjectAndMerge)
+                j = i + 1
+                if combine and kindv in (2, 3) and geom_a[ri] is not None:
+                    while (j < n_sel and int(kind_a[sel[j]]) == kindv
+                           and ak_a[sel[j]] == ak_a[ri]
+                           and geom_a[sel[j]] is not None):
+                        j += 1
+                run = sel[i:j]
+                i = j
+                if kindv == 1 or asc_a[ri]:
+                    cmds = _centroid_cmds(geom_a[ri], lon_a[ri], latp_a[ri], bb, box)
+                    if cmds is not None:
+                        emit(mvt.GEOM_POINT, cmds, ri)
+                    continue
+                if geom_a[ri] is None:
+                    continue
+                if kindv == 2:
+                    if len(run) == 1:
+                        _, payload = geompack.unpack(bytes(geom_a[ri]))
+                    else:
+                        # linestring union: concatenated clipped parts,
+                        # exact-duplicate parts dropped (geom::union_ of
+                        # disjoint lines == concatenation)
+                        payload = []
+                        seen = set()
+                        for rj in run:
+                            _, pl = geompack.unpack(bytes(geom_a[rj]))
+                            for lo, la in pl:
+                                key = (lo.tobytes(), la.tobytes())
+                                if key not in seen:
+                                    seen.add(key)
+                                    payload.append((lo, la))
+                    cmds = _line_to_cmds(payload, box, bb, tol)
+                    if cmds is not None:
+                        emit(mvt.GEOM_LINESTRING, cmds, ri)
+                    continue
+                # polygon(s): clip each, then union the clipped rings when
+                # merging (reference unions post-clip, pre-simplify)
+                polys = []
+                for rj in run:
+                    _, pl = geompack.unpack(bytes(geom_a[rj]))
+                    polys.extend(_clip_polygon(pl, box))
+                if len(run) > 1 and len(polys) > 1:
+                    from .kernels import polyunion
+                    polys = polyunion.union_polygons(polys)
+                cmds = _polys_to_cmds(polys, bb, tol)
+                if cmds is not None:
+                    emit(mvt.GEOM_POLYGON, cmds, ri)
 
-    return encode_layer_groups
+        if not feats:
+            return  # F9
+        layer_msg = mvt.encode_layer(group[0], feats, dicts.keys, dicts.values,
+                                     version=mvt_version)
+        framed = mvt.encode_tile([layer_msg])
+        out_rows.append((z, x, y, order_idx, framed, n_feats,
+                         int(ghash), len(framed)))
+
+    def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "z": pdf["z"].to_numpy(dtype=np.int64),
+            "x": pdf["x"].to_numpy(dtype=np.int64),
+            "y": pdf["y"].to_numpy(dtype=np.int64),
+            "ol": pdf["_out_layer"].to_numpy(dtype=object),
+            "layer": pdf["layer"].to_numpy(dtype=object),
+            "kind": pdf["kind"].to_numpy(dtype=np.int64),
+            "ak": pdf["_ak"].to_numpy(dtype=object),
+            "elem": pdf["elem"].to_numpy(dtype=object),
+            "oid": pdf["object_id"].to_numpy(dtype=np.int64),
+            "attrs": pdf["attrs"].to_numpy(dtype=object),
+            "geom": pdf["geom"].to_numpy(dtype=object),
+            "lon": pdf["lon"].to_numpy(dtype=np.float64, na_value=np.nan),
+            "latp": pdf["latp"].to_numpy(dtype=np.float64, na_value=np.nan),
+            "asc": pdf["as_centroid"].to_numpy(),
+            "anum": (pdf["attrs_num"].to_numpy(dtype=object)
+                     if "attrs_num" in pdf.columns else None),
+            "abool": (pdf["attrs_bool"].to_numpy(dtype=object)
+                      if "attrs_bool" in pdf.columns else None),
+        }
+        n = len(pdf)
+        z, x, y, ol = cols["z"], cols["x"], cols["y"], cols["ol"]
+        starts = np.concatenate((
+            [0],
+            np.flatnonzero((z[1:] != z[:-1]) | (x[1:] != x[:-1])
+                           | (y[1:] != y[:-1]) | (ol[1:] != ol[:-1])) + 1,
+            [n]))
+        out_rows: list = []
+        for si in range(len(starts) - 1):
+            _encode_run(cols, int(starts[si]), int(starts[si + 1]), out_rows)
+        return pd.DataFrame(out_rows, columns=_OUT_COLS)
+
+    def encode_stream(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            # hold the final (possibly batch-straddling) group for the
+            # next batch; flushed after the iterator drains
+            z = pdf["z"].to_numpy(dtype=np.int64)
+            x = pdf["x"].to_numpy(dtype=np.int64)
+            y = pdf["y"].to_numpy(dtype=np.int64)
+            ol = pdf["_out_layer"].to_numpy(dtype=object)
+            change = np.flatnonzero((z[1:] != z[:-1]) | (x[1:] != x[:-1])
+                                    | (y[1:] != y[:-1]) | (ol[1:] != ol[:-1])) + 1
+            last_start = int(change[-1]) if len(change) else 0
+            carry = pdf.iloc[last_start:]
+            if last_start:
+                yield _encode_batch(pdf.iloc[:last_start])
+        if carry is not None and len(carry):
+            yield _encode_batch(carry)
+
+    return encode_stream
 
 
 def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
     """(z,x,y,...feature rows) -> (z,x,y,tile,...) in two stages:
-    per-(tile,output-layer) encode, then Catalyst tile assembly.
+    streaming per-(tile,output-layer) encode, then Catalyst tile assembly.
 
     Scale-critical shaping BEFORE the shuffle (all Catalyst):
     - F8 zoom-range filter pushed down: a z0 tile would otherwise
-      receive every feature in the world as one group (60k+ rows per
-      mapper at sf0.1×8 — unbounded at 100 TB) only to drop them after
-      the shuffle. Tile-set parity with the reference (which emits
+      receive every feature in the world as one group only to drop them
+      after the shuffle. Tile-set parity with the reference (which emits
       empty tiles, src/tile_worker.cpp:229-250) is preserved by a
-      distinct-coords left join that re-adds fully-filtered tiles with
-      an empty MVT body.
-    - the canonical attribute sort key (A4) is computed as a column so
-      the per-tile Python loop never re-derives it per row.
+      distinct-coords left join re-adding fully-filtered tiles with an
+      empty MVT body.
+    - the canonical typed attribute sort key (A4) is computed as a
+      Catalyst column so Python never re-derives it per row.
+    - partitioning is per-(tile, OUTPUT-layer) — the skew answer for
+      metro tiles: MVT layers are independent (A4 sort/dedup, A5 merge,
+      A8 dictionaries are all per-layer), so the hottest tile splits
+      across layer groups; W4 ordering + framing + gzip happen in the
+      Catalyst assembly below.
     """
     from pyspark.sql import functions as F
 
@@ -309,10 +402,25 @@ def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
                           for x in (F.lit(name), F.lit(ld.minzoom))])
     maxz = F.create_map(*[x for name, ld in cfg.layers.items()
                           for x in (F.lit(name), F.lit(ld.maxzoom))])
-    ak = F.array_join(
-        F.transform(F.array_sort(F.map_entries("attrs")),
-                    lambda e: F.concat_ws("\x1e", e["key"], e["value"])),
-        "\x1f")
+    has_num = "attrs_num" in assigned.columns
+    has_bool = "attrs_bool" in assigned.columns
+    ak_parts = [F.transform(F.map_entries("attrs"),
+                            lambda e: F.concat_ws("\x1d",
+                                                  F.concat_ws("\x1e", e["key"], F.lit("s")),
+                                                  e["value"]))]
+    if has_num:
+        ak_parts.append(F.transform(
+            F.map_entries("attrs_num"),
+            lambda e: F.concat_ws("\x1d",
+                                  F.concat_ws("\x1e", e["key"], F.lit("f")),
+                                  e["value"].cast("string"))))
+    if has_bool:
+        ak_parts.append(F.transform(
+            F.map_entries("attrs_bool"),
+            lambda e: F.concat_ws("\x1d",
+                                  F.concat_ws("\x1e", e["key"], F.lit("b")),
+                                  e["value"].cast("string"))))
+    ak = F.array_join(F.array_sort(F.concat(*ak_parts)), "\x1f")
     out_layer = F.create_map(*[x for name in cfg.layers
                                for x in (F.lit(name), F.lit(cfg.output_layer_of(name)))])
     eligible = (assigned
@@ -320,8 +428,11 @@ def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
                        & (F.col("z") <= F.element_at(maxz, F.col("layer"))))
                 .withColumn("_ak", ak)
                 .withColumn("_out_layer", F.element_at(out_layer, F.col("layer"))))
-    layer_groups = eligible.groupBy("z", "x", "y", "_out_layer").applyInPandas(
-        make_layer_encoder(cfg), schema=LAYER_GROUP_SCHEMA)
+    part = (eligible
+            .repartition(F.col("z"), F.col("x"), F.col("y"), F.col("_out_layer"))
+            .sortWithinPartitions(*_SORT_COLS))
+    layer_groups = part.mapInPandas(make_stream_encoder(cfg),
+                                    schema=LAYER_GROUP_SCHEMA)
 
     # ---- W4 tile assembly: order layers, concat framed bytes (Catalyst)
     parts = (layer_groups.groupBy("z", "x", "y").agg(
@@ -362,20 +473,41 @@ def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
                    if cfg.compress else empty_raw)
     coords = assigned.select("z", "x", "y").distinct()
     if cfg.bounding_box is not None:
-        # F7 for the coord set (same skip the per-group encoder applies)
+        # F7 for the coord set — same Python TileBbox float path as the
+        # per-group skip (a Catalyst re-derivation risked last-ULP
+        # disagreement for tiles exactly on the bbox edge): precompute
+        # the allowed integer tile range per zoom driver-side.
         mnl, mnla, mxl, mxla = cfg.bounding_box
-        two_z = F.shiftleft(F.lit(1).cast("long"), F.col("z"))
-        t_minlon = F.col("x") / two_z * 360.0 - 180.0
-        t_maxlon = (F.col("x") + 1) / two_z * 360.0 - 180.0
+        allowed = []
+        for zz in range(cfg.minzoom, cfg.maxzoom + 1):
+            xlo = int(M.lon2tilex(np.float64(mnl), zz))
+            xhi = int(M.lon2tilex(np.float64(mxl), zz))
+            ylo = int(M.lat2tileyf(np.float64(mxla), zz))
+            yhi = int(M.lat2tileyf(np.float64(mnla), zz))
+            allowed.append((zz, xlo, xhi, ylo, yhi))
+        cond = None
+        for zz, xlo, xhi, ylo, yhi in allowed:
+            # strict overlap test matching the per-group F7 skip: a tile
+            # [x, x+1) overlaps iff x in [floor(minx), ceil(maxx)-1]
+            c = ((F.col("z") == zz)
+                 & (F.col("x") >= xlo) & (F.col("x") <= xhi)
+                 & (F.col("y") >= ylo) & (F.col("y") <= yhi))
+            cond = c if cond is None else (cond | c)
+        # tiles whose shared edge only touches the bbox are excluded by
+        # the per-group encoder; mirror with the exact TileBbox floats
+        from pyspark.sql.types import BooleanType
+        from pyspark.sql.functions import pandas_udf
 
-        def _tile_lat(y_expr):
-            latp = F.lit(180.0) - y_expr / two_z * 360.0
-            return F.degrees(F.atan(F.exp(F.radians(latp)))) * 2.0 - 90.0
+        @pandas_udf(BooleanType())
+        def overlaps(z_s: pd.Series, x_s: pd.Series, y_s: pd.Series) -> pd.Series:
+            out = []
+            for zz, xx, yy in zip(z_s, x_s, y_s):
+                bb = M.TileBbox(int(xx), int(yy), int(zz))
+                out.append(not (mxl <= bb.min_lon or mnl >= bb.max_lon
+                                or mxla <= bb.min_lat or mnla >= bb.max_lat))
+            return pd.Series(out)
 
-        t_minlat = _tile_lat(F.col("y") + 1)
-        t_maxlat = _tile_lat(F.col("y").cast("double"))
-        coords = coords.where((F.lit(mxl) > t_minlon) & (F.lit(mnl) < t_maxlon)
-                              & (F.lit(mxla) > t_minlat) & (F.lit(mnla) < t_maxlat))
+        coords = coords.where(cond).where(overlaps("z", "x", "y"))
     return (coords.join(tiles, ["z", "x", "y"], "left")
             .select("z", "x", "y",
                     F.coalesce(F.col("tile"), F.lit(empty_bytes)).alias("tile"),

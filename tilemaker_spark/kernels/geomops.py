@@ -36,6 +36,43 @@ def correct_winding(xs: np.ndarray, ys: np.ndarray, outer: bool):
     return xs[::-1].copy(), ys[::-1].copy()
 
 
+def remove_spikes(xs: np.ndarray, ys: np.ndarray):
+    """G12 validity repair: drop consecutive duplicate vertices and
+    180-degree spike vertices (out-and-back along the same line), like
+    boost geom::remove_spikes as the reference applies on polygon ingest
+    (src/read_shp.cpp:214-225). Iterates to a fixpoint (removing a spike
+    can expose another). Returns a closed (xs, ys) ring or None if the
+    ring degenerates below a triangle."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    changed = True
+    while changed:
+        changed = False
+        n = len(xs)
+        if n < 3:
+            return None
+        # consecutive duplicates (cyclic)
+        dup = (xs == np.roll(xs, 1)) & (ys == np.roll(ys, 1))
+        if dup.any():
+            xs, ys = xs[~dup], ys[~dup]
+            changed = True
+            continue
+        # spike at b: cross(a->b, b->c) == 0 and dot(a->b, b->c) < 0
+        ax, ay = np.roll(xs, 1), np.roll(ys, 1)
+        cx, cy = np.roll(xs, -1), np.roll(ys, -1)
+        ux, uy = xs - ax, ys - ay
+        vx, vy = cx - xs, cy - ys
+        spike = (ux * vy - uy * vx == 0.0) & (ux * vx + uy * vy < 0.0)
+        if spike.any():
+            xs, ys = xs[~spike], ys[~spike]
+            changed = True
+    if len(xs) < 3:
+        return None
+    return (np.concatenate((xs, xs[:1])), np.concatenate((ys, ys[:1])))
+
+
 def ring_centroid(xs: np.ndarray, ys: np.ndarray):
     """Area-weighted centroid of one ring (standard polygon centroid)."""
     xs = np.asarray(xs, dtype=np.float64)

@@ -59,6 +59,39 @@ def zigzag32(n) -> np.ndarray:
     return ((n << 1) ^ (n >> 63)).astype(np.uint64)
 
 
+# ---------------------------------------------------- vectorized varints
+def varint_array(vals, return_lens: bool = False):
+    """Vectorized varint encoding of an integer array -> concatenated
+    bytes (optionally also the per-value byte lengths).
+
+    Loops over byte POSITIONS (<=10), not values — the per-value work is
+    numpy. This is the packed-geometry hot path: one call per feature
+    instead of one Python ``_varint`` per command int.
+    """
+    v = np.asarray(vals, dtype=np.int64).astype(np.uint64)
+    n = len(v)
+    if n == 0:
+        return (b"", np.empty(0, np.int64)) if return_lens else b""
+    nb = np.ones(n, np.int64)
+    for k in range(1, 10):
+        m = v >= np.uint64(1 << (7 * k))
+        if not m.any():
+            break
+        nb += m
+    total = int(nb.sum())
+    out = np.zeros(total, np.uint8)
+    offs = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    kmax = int(nb.max())
+    for k in range(kmax):
+        mask = nb > k
+        idx = offs[mask] + k
+        byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((nb[mask] > k + 1).astype(np.uint8)) << 7
+        out[idx] = byte | cont
+    blob = out.tobytes()
+    return (blob, nb) if return_lens else blob
+
+
 # ------------------------------------------------------------ command stream
 def encode_point_geometry(px: int, py: int) -> list:
     """Single point: MoveTo x1 (reference: src/tile_worker.cpp:112-115)."""
@@ -101,6 +134,45 @@ def write_delta_string(pxs: np.ndarray, pys: np.ndarray, last_pos: list,
     last_pos[0] = last_x
     last_pos[1] = last_y
     return geometry
+
+
+def delta_string_cmds(pxs: np.ndarray, pys: np.ndarray, last_pos: list,
+                      close_path: bool):
+    """Vectorized ``write_delta_string``: same semantics (same-as-last-
+    retained pixel skip — provably equal to consecutive-duplicate drop,
+    since last_retained always equals the previous input point — <2-pt
+    and zero-lineTo strings dropped, lastPos carried), returning an
+    int64 command array or None. reference: src/write_geometry.cpp:93-130."""
+    n = len(pxs)
+    if n < 2:
+        return None
+    px = np.asarray(pxs, dtype=np.int64)
+    py = np.asarray(pys, dtype=np.int64)
+    keep = np.empty(n, dtype=bool)
+    keep[0] = True
+    np.not_equal(px[1:], px[:-1], out=keep[1:])
+    keep[1:] |= py[1:] != py[:-1]
+    rx = px[keep]
+    ry = py[keep]
+    m = len(rx) - 1
+    if m == 0:
+        return None
+    out = np.empty(4 + 2 * m + (1 if close_path else 0), dtype=np.int64)
+    out[0] = 9
+    dx0 = int(rx[0]) - last_pos[0]
+    dy0 = int(ry[0]) - last_pos[1]
+    out[1] = (dx0 << 1) ^ (dx0 >> 63)
+    out[2] = (dy0 << 1) ^ (dy0 >> 63)
+    out[3] = (m << 3) + 2
+    ddx = np.diff(rx)
+    ddy = np.diff(ry)
+    out[4:4 + 2 * m:2] = (ddx << 1) ^ (ddx >> 63)
+    out[5:5 + 2 * m:2] = (ddy << 1) ^ (ddy >> 63)
+    if close_path:
+        out[-1] = 15  # closePath x1
+    last_pos[0] = int(rx[-1])
+    last_pos[1] = int(ry[-1])
+    return out
 
 
 def encode_line_geometry(parts: list) -> list:
@@ -149,6 +221,20 @@ def encode_feature(geom_type: int, geometry: list, tag_idx: list,
         out += _packed_varints(2, tag_idx)
     out += _tag(3, 0) + _varint(geom_type)
     out += _packed_varints(4, geometry)
+    return bytes(out)
+
+
+def encode_feature_raw(geom_type: int, geom_bytes: bytes, tag_idx: list,
+                       feature_id: int | None = None) -> bytes:
+    """Like encode_feature but the packed geometry varints are already
+    bytes (from varint_array) — the vectorized encode path."""
+    out = bytearray()
+    if feature_id is not None:
+        out += _tag(1, 0) + _varint(int(feature_id))
+    if tag_idx:
+        out += _packed_varints(2, tag_idx)
+    out += _tag(3, 0) + _varint(geom_type)
+    out += _tag(4, 2) + _varint(len(geom_bytes)) + geom_bytes
     return bytes(out)
 
 

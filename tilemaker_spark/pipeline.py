@@ -29,8 +29,9 @@ from . import assemble, classify, extract, geocode, tileassign
 from .config import Config, default_config
 from .encode import encode_zoom
 
-BASE_TILE_COLS = ["object_id", "elem", "layer", "kind", "attrs", "as_centroid",
-                  "geom", "lon", "latp", "tile_x", "tile_y", "feat_minzoom"]
+BASE_TILE_COLS = ["object_id", "elem", "layer", "kind", "attrs", "attrs_num",
+                  "attrs_bool", "as_centroid", "geom", "lon", "latp",
+                  "tile_x", "tile_y", "feat_minzoom"]
 
 
 def _stage_done(path: str) -> bool:
