@@ -22,15 +22,20 @@ def test_query_matches_oracle(spark, duck, name, fn, sql):
     assert rep["rows_match"], rep
     assert rep["schema_match"], rep
     assert rep["hash_match"], rep
+    # a 0 = 0 match verifies nothing about value logic — every pair must
+    # produce rows at this SF (thresholds are tuned for it)
+    assert rep["spark_rows"] > 0, f"{name}: trivially-green 0-row oracle"
 
 
-def test_every_query_has_oracle_or_is_flagged():
+def test_every_query_has_oracle():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     missing = set(q) - set(o)
     # non-SQL-expressible ops (driver records rows-only) must be a
-    # deliberate, documented set — keep it tight
-    allowed_weak = {"pyramid_tiles", "media_features"}
+    # deliberate, documented set — currently EMPTY; stale names in this
+    # set fail loudly via the subset check below
+    allowed_weak: set = set()
+    assert allowed_weak <= set(q)
     assert missing <= allowed_weak, f"queries without oracle: {missing}"
 
 

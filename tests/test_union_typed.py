@@ -1,0 +1,363 @@
+"""Round-2 feature tests: even-odd polygon union (G15) + --combine tile
+bytes, typed attribute wire arms (F6), spike repair (G12), LSH hot-bucket
+cap, and the bounded kNN fallback."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark.config import default_config
+from tilemaker_spark.encode import encode_zoom
+from tilemaker_spark.kernels import geompack, geomops, mercator as M, polyunion
+
+
+# --------------------------------------------------------- wire decoding
+# independent MVT parser (decode only — does not reuse kernels/mvt.py)
+
+def _varint(buf, i):
+    out = 0
+    shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return out, i
+
+
+def _fields(buf):
+    i = 0
+    out = []
+    while i < len(buf):
+        key, i = _varint(buf, i)
+        fld, wt = key >> 3, key & 7
+        if wt == 2:
+            ln, i = _varint(buf, i)
+            out.append((fld, buf[i:i + ln]))
+            i += ln
+        elif wt == 5:
+            out.append((fld, buf[i:i + 4]))
+            i += 4
+        else:
+            v, i = _varint(buf, i)
+            out.append((fld, v))
+    return out
+
+
+def parse_tile(raw):
+    """-> [{name, features: [(geom_type, cmds)], values: [...]}]"""
+    layers = []
+    for fld, payload in _fields(raw):
+        assert fld == 3
+        layer = {"features": [], "keys": [], "values": []}
+        for lf, lp in _fields(payload):
+            if lf == 1:
+                layer["name"] = lp.decode()
+            elif lf == 2:
+                gt = None
+                cmds = []
+                tags = []
+                for ff, fp in _fields(lp):
+                    if ff == 3:
+                        gt = fp
+                    elif ff == 4:
+                        j = 0
+                        while j < len(fp):
+                            v, j = _varint(fp, j)
+                            cmds.append(v)
+                    elif ff == 2:
+                        j = 0
+                        while j < len(fp):
+                            v, j = _varint(fp, j)
+                            tags.append(v)
+                layer["features"].append((gt, cmds, tags))
+            elif lf == 3:
+                layer["keys"].append(lp.decode())
+            elif lf == 4:
+                (vf, vp), = _fields(lp)
+                if vf == 1:
+                    layer["values"].append(("str", vp.decode()))
+                elif vf == 2:
+                    layer["values"].append(("float", struct.unpack("<f", vp)[0]))
+                elif vf == 7:
+                    layer["values"].append(("bool", bool(vp)))
+                else:
+                    layer["values"].append((str(vf), vp))
+        layers.append(layer)
+    return layers
+
+
+def decode_poly_rings(cmds):
+    """Command stream -> list of pixel rings (closed)."""
+    rings = []
+    cur = []
+    x = y = 0
+    i = 0
+
+    def unzig(v):
+        return (v >> 1) ^ -(v & 1)
+
+    while i < len(cmds):
+        cmd = cmds[i]
+        op, count = cmd & 7, cmd >> 3
+        i += 1
+        if op == 1:      # MoveTo
+            for _ in range(count):
+                x += unzig(cmds[i]); y += unzig(cmds[i + 1]); i += 2
+                cur = [(x, y)]
+        elif op == 2:    # LineTo
+            for _ in range(count):
+                x += unzig(cmds[i]); y += unzig(cmds[i + 1]); i += 2
+                cur.append((x, y))
+        elif op == 7:    # ClosePath
+            cur.append(cur[0])
+            rings.append(cur)
+            cur = []
+    return rings
+
+
+def ring_area(ring):
+    a = 0.0
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        a += x1 * y2 - x2 * y1
+    return a / 2.0
+
+
+# ------------------------------------------------------------ union kernel
+
+def _sq(x0, y0, x1, y1):
+    xs = np.array([x0, x0, x1, x1, x0], float)
+    ys = np.array([y0, y1, y1, y0, y0], float)
+    return geomops.correct_winding(xs, ys, outer=True)
+
+
+def _area_of(result):
+    return sum(-geomops.signed_area(xs, ys) for rings in result for xs, ys in rings)
+
+
+class TestPolyUnion:
+    def test_disjoint(self):
+        r = polyunion.union_polygons([[_sq(0, 0, 1, 1)], [_sq(2, 0, 3, 1)]])
+        assert len(r) == 2
+        assert abs(_area_of(r) - 2.0) < 1e-5
+
+    def test_overlap_area(self):
+        # [0,2]^2 U [1,3]^2 -> 4 + 4 - 1 = 7 (closed form)
+        r = polyunion.union_polygons([[_sq(0, 0, 2, 2)], [_sq(1, 1, 3, 3)]])
+        assert len(r) == 1
+        assert abs(_area_of(r) - 7.0) < 1e-5
+
+    def test_identical(self):
+        r = polyunion.union_polygons([[_sq(0, 0, 2, 2)], [_sq(0, 0, 2, 2)]])
+        assert len(r) == 1
+        assert abs(_area_of(r) - 4.0) < 1e-5
+
+    def test_shared_edge_merges(self):
+        r = polyunion.union_polygons([[_sq(0, 0, 1, 1)], [_sq(1, 0, 2, 1)]])
+        assert len(r) == 1
+        assert abs(_area_of(r) - 2.0) < 1e-5
+
+    def test_hole_partially_filled(self):
+        outer = _sq(0, 0, 4, 4)
+        hole = geomops.correct_winding(*_sq(1, 1, 3, 3), outer=False)
+        plug = _sq(1, 1, 2, 3)
+        r = polyunion.union_polygons([[outer, hole], [plug]])
+        assert abs(_area_of(r) - 14.0) < 1e-5          # 16 - 4 + 2
+        assert sum(len(rs) - 1 for rs in r) == 1       # one hole remains
+
+    def test_union_creates_hole(self):
+        # C-shape + cap -> donut with a 1x1 hole
+        cxs = np.array([0, 0, 3, 3, 1, 1, 3, 3, 0], float)
+        cys = np.array([0, 3, 3, 2, 2, 1, 1, 0, 0], float)
+        cxs, cys = geomops.correct_winding(cxs, cys, outer=True)
+        r = polyunion.union_polygons([[(cxs, cys)], [_sq(2, 0, 3, 3)]])
+        assert abs(_area_of(r) - 8.0) < 1e-5
+        assert sum(len(rs) - 1 for rs in r) == 1
+
+    def test_overlapping_octagons_closed_form(self):
+        def octo(cx, cy, rr):
+            dx = np.array([1, 1, 0, -1, -1, -1, 0, 1])
+            dy = np.array([0, 1, 1, 1, 0, -1, -1, -1])
+            xs = (cx + dx * rr).astype(float)
+            ys = (cy + dy * rr).astype(float)
+            xs = np.concatenate((xs, xs[:1]))
+            ys = np.concatenate((ys, ys[:1]))
+            return geomops.correct_winding(xs, ys, outer=True)
+        # the geocoder 'octagon' is a square [−r,r]² with edge midpoints:
+        # two of them offset by r along x union to area 8r²−2r² = 6r²...
+        # offset 2 keeps full generality: 16+16-8 = 24 for r=2
+        r = polyunion.union_polygons([[octo(0, 0, 2)], [octo(2, 0, 2)]])
+        assert len(r) == 1
+        assert abs(_area_of(r) - 24.0) < 1e-5
+
+    def test_fallback_cap(self):
+        # past MAX_UNION_SEGMENTS the kernel must return its input
+        big = [[_sq(i, 0, i + 1.5, 1.5)] for i in range(3)]
+        old = polyunion.MAX_UNION_SEGMENTS
+        try:
+            polyunion.MAX_UNION_SEGMENTS = 4
+            r = polyunion.union_polygons(big)
+            assert len(r) == 3      # concat semantics (unchanged input)
+        finally:
+            polyunion.MAX_UNION_SEGMENTS = old
+
+
+class TestRemoveSpikes:
+    def test_spike_removed(self):
+        xs = np.array([0, 4, 6, 4, 4, 0, 0], float)    # (6,0) is a spike
+        ys = np.array([0, 0, 0, 0, 4, 4, 0], float)
+        res = geomops.remove_spikes(xs, ys)
+        assert res is not None
+        assert 6 not in res[0]
+        assert abs(abs(geomops.signed_area(*res)) - 16.0) < 1e-9
+
+    def test_degenerate_collapses(self):
+        assert geomops.remove_spikes(
+            np.array([0, 1, 2, 1, 0.]), np.array([0, 0, 0, 0, 0.])) is None
+
+    def test_clean_ring_unchanged(self):
+        res = geomops.remove_spikes(
+            np.array([0, 4, 4, 0, 0.]), np.array([0, 0, 4, 4, 0.]))
+        assert res is not None and len(res[0]) == 5
+
+    def test_duplicate_vertices_dropped(self):
+        res = geomops.remove_spikes(
+            np.array([0, 0, 4, 4, 0, 0.]), np.array([0, 0, 0, 4, 4, 0.]))
+        assert res is not None and len(res[0]) == 5
+
+
+# --------------------------------------------------- combine + typed wire
+
+def _assigned_df(spark, rows):
+    schema = ("z int, x long, y long, object_id long, elem string, "
+              "layer string, kind int, attrs map<string,string>, "
+              "attrs_num map<string,double>, attrs_bool map<string,boolean>, "
+              "as_centroid boolean, geom binary, lon int, latp int")
+    return spark.createDataFrame(rows, schema)
+
+
+def _octagon_geom(cx, cy, r):
+    dx = np.array([1, 1, 0, -1, -1, -1, 0, 1, 1], dtype=np.int64)
+    dy = np.array([0, 1, 1, 1, 0, -1, -1, -1, 0], dtype=np.int64)
+    lons = cx + dx * r
+    latps = cy + dy * r
+    lons, latps = geomops.correct_winding(lons, latps, outer=True)
+    return geompack.pack_polygon([[(lons, latps)]])
+
+
+TILE_Z, TILE_LON, TILE_LATP = 14, 9.5, 53.5
+
+
+def _tile_xy():
+    x = int(M.lon2tilex(np.float64(TILE_LON), TILE_Z))
+    y = int(M.latp2tiley(np.float64(TILE_LATP), TILE_Z))
+    return x, y
+
+
+def test_combine_unions_same_attr_polygons(spark):
+    """--combine: two overlapping same-attribute buildings emit ONE
+    feature whose area is the geometric union, not the sum
+    (reference: src/tile_worker.cpp:21-64)."""
+    x, y = _tile_xy()
+    # center of the tile so the union never touches the clip boundary
+    bb = M.TileBbox(x, y, TILE_Z)
+    cx = int((bb.min_lon + bb.max_lon) / 2 * 1e7)
+    cy = int((bb.min_latp + bb.max_latp) / 2 * 1e7)
+    r = 8000
+    g1 = _octagon_geom(cx, cy, r)
+    g2 = _octagon_geom(cx + r, cy, r)      # overlap: union = 6r^2... area 24r^2/4
+    rows = [
+        (TILE_Z, x, y, 1, "way", "building", 3, {}, {}, {}, False, bytearray(g1), None, None),
+        (TILE_Z, x, y, 2, "way", "building", 3, {}, {}, {}, False, bytearray(g2), None, None),
+    ]
+    cfg = default_config()
+    cfg.compress = False
+
+    plain = encode_zoom(_assigned_df(spark, rows), cfg).collect()
+    assert len(plain) == 1 and plain[0]["feature_count"] == 2
+
+    cfg.combine_similar = True
+    combined = encode_zoom(_assigned_df(spark, rows), cfg).collect()
+    assert len(combined) == 1
+    assert combined[0]["feature_count"] == 1
+    layers = parse_tile(bytes(combined[0]["tile"]))
+    (layer,) = layers
+    (gt, cmds, _tags), = layer["features"]
+    assert gt == 3
+    rings = decode_poly_rings(cmds)
+    assert len(rings) == 1
+    px_area = abs(ring_area(rings[0]))
+    # union of two side-2r squares offset r: 6r^2 (degrees^2) -> pixels
+    expected = 6.0 * (r / 1e7) ** 2 / (bb.xscale * bb.yscale)
+    assert abs(px_area - expected) / expected < 0.02
+    # determinism: re-encode gives identical bytes
+    again = encode_zoom(_assigned_df(spark, rows), cfg).collect()
+    assert bytes(again[0]["tile"]) == bytes(combined[0]["tile"])
+
+
+def test_typed_attr_wire_arms(spark):
+    """AttributeNumeric -> float_value, AttributeBoolean -> bool_value on
+    the wire (include/vector_tile.proto:16-27)."""
+    x, y = _tile_xy()
+    bb = M.TileBbox(x, y, TILE_Z)
+    lon = int((bb.min_lon + bb.max_lon) / 2 * 1e7)
+    latp = int((bb.min_latp + bb.max_latp) / 2 * 1e7)
+    rows = [
+        (TILE_Z, x, y, 7, "node", "poi", 1, {"class": "cafe"}, {"rank": 3.5},
+         {"open": True}, False, None, lon, latp),
+    ]
+    cfg = default_config()
+    cfg.compress = False
+    tiles = encode_zoom(_assigned_df(spark, rows), cfg).collect()
+    assert len(tiles) == 1 and tiles[0]["feature_count"] == 1
+    (layer,) = parse_tile(bytes(tiles[0]["tile"]))
+    vals = dict(zip(layer["keys"],
+                    [layer["values"][i] for i in range(len(layer["keys"]))]))
+    # keys/values are dictionary-indexed; map tag pairs explicitly
+    (gt, cmds, tags) = layer["features"][0]
+    tag_map = {layer["keys"][tags[i]]: layer["values"][tags[i + 1]]
+               for i in range(0, len(tags), 2)}
+    assert tag_map["class"] == ("str", "cafe")
+    assert tag_map["rank"] == ("float", 3.5)
+    assert tag_map["open"] == ("bool", True)
+
+
+# ------------------------------------------------------------- LSH cap
+
+def test_lsh_bucket_cap(spark):
+    from tilemaker_spark import textops
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated many times here") for i in range(50)],
+        "doc_id long, text string")
+    capped = textops.minhash_lsh_pairs(docs, max_bucket=10)
+    assert capped.count() == 0                      # mega-bucket dropped
+    uncapped = textops.minhash_lsh_pairs(docs, max_bucket=100)
+    assert uncapped.count() == 50 * 49 // 2         # all identical pairs
+
+
+# ------------------------------------------------------- kNN fallback
+
+def test_knn_sparse_fallback_exact(spark):
+    """Adversarially sparse queries (no places within the ring window,
+    nor the widened window) must still return exact kNN via the bounded
+    brute-force residue — compare against numpy brute force."""
+    from tilemaker_spark import spatial
+
+    rng = np.random.default_rng(11)
+    q_pts = [(int(i), int(9.0e8 + i * 1000), int(4.0e8)) for i in range(3)]
+    p_pts = [(int(100 + j), int(1.5e9 + rng.integers(0, 5_000_000)),
+              int(6.0e8 + rng.integers(0, 5_000_000))) for j in range(20)]
+    queries = spark.createDataFrame(q_pts, "object_id long, lon int, latp int")
+    places = spark.createDataFrame(p_pts, "place_id long, lon int, latp int")
+    got = {(r["object_id"], r["rank"]): r["place_id"]
+           for r in spatial.knn_join(queries, places, k=3).collect()}
+    assert len(got) == 9
+    for qid, qlon, qlatp in q_pts:
+        d2 = sorted((int(pl - qlon) ** 2 + int(pp - qlatp) ** 2, pid)
+                    for pid, pl, pp in p_pts)
+        for rank in (1, 2, 3):
+            assert got[(qid, rank)] == d2[rank - 1][1]

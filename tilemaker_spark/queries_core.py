@@ -190,6 +190,95 @@ def q_a6_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                     r4(F.col("c.cy")).alias("cy4")))
 
 
+def q_typed_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 typed attribute values: AttributeNumeric (place rank, double)
+    and AttributeBoolean (transportation paved) through the rule table
+    (reference: src/osm_lua_processing.cpp:335-356)."""
+    nodes, ways, _ = _stores(spark, sf_dir)
+    nf = classify.classify_nodes(nodes).where(F.col("layer") == "place")
+    wf = classify.classify_ways(ways).where(F.col("layer") == "transportation")
+    n = nf.select("object_id", "layer",
+                  F.element_at("attrs_num", "rank").alias("rank"),
+                  F.lit(None).cast("boolean").alias("paved"))
+    w = wf.select("object_id", "layer",
+                  F.lit(None).cast("double").alias("rank"),
+                  F.element_at("attrs_bool", "paved").alias("paved"))
+    return n.unionByName(w)
+
+
+def q_a5_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/G15 --combine geometric union: per polygon-doc, two congruent
+    axis-aligned 'octagon' squares (side 2r) offset by r//2 along one
+    axis are unioned by the even-odd kernel (kernels/polyunion —
+    reference: Clipper ctUnion in src/tile_worker.cpp:45-54). The union
+    area over r^2 is 4 + 2*(r//2)/r, which rounds to 5.00 at 2dp for
+    every r >= 2000 — any sign/overflow/stitching bug breaks it."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .kernels import geomops, polyunion
+
+    docs = load_docs(spark, sf_dir)
+    seeds = geocode._seed_frame(docs)
+    polys = seeds.where(F.col("kind") == 2).select(
+        "wid0", "lon0", "latp0", "h2",
+        geocode._poly_r(F.col("h2")).alias("r"),
+        (F.col("h2") % 2).alias("axis"))
+
+    @pandas_udf("struct<n_polys:int, ratio:double>")
+    def union_stats(lon0, latp0, r, axis):
+        import numpy as np
+        dx = np.array([1, 1, 0, -1, -1, -1, 0, 1])
+        dy = np.array([0, 1, 1, 1, 0, -1, -1, -1])
+        rows = []
+        for lo, la, rr, ax in zip(lon0, latp0, r, axis):
+            rr = int(rr)
+            d = rr // 2
+            ox = d if ax == 0 else 0
+            oy = d if ax == 1 else 0
+
+            def octo(cx, cy):
+                xs = (cx + dx * rr) / 1e7
+                ys = (cy + dy * rr) / 1e7
+                xs = np.concatenate((xs, xs[:1]))
+                ys = np.concatenate((ys, ys[:1]))
+                return geomops.correct_winding(xs, ys, outer=True)
+
+            res = polyunion.union_polygons(
+                [[octo(lo, la)], [octo(lo + ox, la + oy)]])
+            area = sum(-geomops.signed_area(xs, ys)
+                       for rings in res for xs, ys in rings)
+            ratio = area / (rr / 1e7) ** 2
+            rows.append({"n_polys": len(res),
+                         "ratio": float(np.floor(ratio * 100.0 + 0.5) / 100.0)})
+        return pd.DataFrame(rows)
+
+    return (polys.withColumn("s", union_stats("lon0", "latp0", "r", "axis"))
+            .select(F.col("wid0").alias("way_id"),
+                    F.col("s.n_polys").alias("n_polys"),
+                    F.col("s.ratio").alias("ratio")))
+
+
+def q_pyramid_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J6/A2/A3/U3 composition, driver-visible: per-(z,x,y) distinct
+    feature counts of the rolled-up pyramid at z in {6, 13, 14} — the
+    base-zoom DDA cover (J5), scanline fill (J6), shiftright rollup
+    (A2/A3) and set-dedup (U3) all feed this count. The SQL oracle
+    re-derives the DDA walk exactly (segments here never span more than
+    one tile border per axis, so the walk closes in SQL)."""
+    from . import tileassign
+
+    docs = load_docs(spark, sf_dir)
+    nodes, ways, rels = geocode.geocode(docs)
+    nf = classify.classify_nodes(nodes)
+    wf = classify.classify_ways(ways)
+    rf = classify.classify_relations(rels)
+    feats = assemble.assemble_features(nodes, ways, rels, nf, wf, rf).localCheckpoint()
+    assigned = tileassign.assign_base_tiles(feats, 14)
+    rolled = tileassign.rollup_all_zooms(assigned, [6, 13, 14], 14)
+    return rolled.groupBy("z", "x", "y").agg(F.count(F.lit(1)).alias("n_features"))
+
+
 def q_u1_layer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 multi-source union + per-layer aggregation."""
     feats = q_classify_features(spark, sf_dir)
@@ -368,6 +457,112 @@ point_tiles AS (
 """
 
 
+# ---- pyramid-tiles oracle: exact SQL re-derivation of the DDA walk.
+# Valid because every synthetic segment is shorter than a z14 tile
+# (max vertex delta 9999 fixed units < 219726), so each segment crosses
+# at most ONE border per axis; the engine's float ops are replicated
+# with the identical IEEE op order (x*16384.0 == ldexp(x,14) exactly).
+# Polygon rings are walked REVERSED (correct_winding makes outers
+# clockwise before packing), so poly/rel-outer segments swap endpoints.
+_XF = "((CAST({v} AS DOUBLE)/10000000.0 + 180.0) * (1.0/360.0)) * 16384.0"
+_YF = "((180.0 - CAST({v} AS DOUBLE)/10000000.0) * (1.0/360.0)) * 16384.0"
+
+_LEN2_SQL = """CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, CAST(len(lons) AS INT)),
+                     i -> (lons[i+1]-lons[i])*(lons[i+1]-lons[i])
+                        + (latps[i+1]-latps[i])*(latps[i+1]-latps[i]))),
+      (a,b) -> a + b) AS BIGINT)"""
+_AREA2_SQL = """abs(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, CAST(len(lons) AS INT)),
+                     i -> lons[i]*latps[i+1] - lons[i+1]*latps[i])),
+      (a,b) -> a + b) AS BIGINT))"""
+_FMZ_AREA = ("CASE WHEN {a} >= 400000000 THEN 6 WHEN {a} >= 150000000 THEN 9 "
+             "WHEN {a} >= 40000000 THEN 11 ELSE 12 END")
+_FMZ_LEN = ("CASE WHEN {l} >= 300000000 THEN 8 WHEN {l} >= 100000000 THEN 10 "
+            "ELSE 11 END")
+
+_PYRAMID_SQL = f"""
+, seg_src AS (
+  SELECT 'way' AS elem, wid0 AS fid, wid0 AS seg_way, FALSE AS swap FROM lines
+  UNION ALL
+  SELECT 'way', wid0, wid0, TRUE FROM polys WHERE h2 % 8 <> 0
+  UNION ALL
+  SELECT 'relation', rel_id, wid0, TRUE FROM rels
+  UNION ALL
+  SELECT 'relation', rel_id, wid0 + 1, TRUE FROM rels
+  UNION ALL
+  SELECT 'relation', rel_id, wid0 + 1099511627776, FALSE FROM rels WHERE h2 % 16 = 0
+),
+feat_fmz AS (
+  SELECT 'node' AS elem, object_id AS fid, 0 AS fmz FROM node_feats
+  UNION ALL
+  SELECT 'way', w.way_id, {_FMZ_LEN.format(l=_LEN2_SQL)}
+  FROM way_pts w JOIN lines l ON w.way_id = l.wid0
+  UNION ALL
+  SELECT 'way', w.way_id, {_FMZ_AREA.format(a=_AREA2_SQL)}
+  FROM way_pts w JOIN (SELECT wid0 FROM polys WHERE h2 % 8 <> 0) p ON w.way_id = p.wid0
+  UNION ALL
+  SELECT 'relation', rel_id, {_FMZ_AREA.format(a="(8 * CAST(2000 + h2 % 8000 AS BIGINT) * CAST(2000 + h2 % 8000 AS BIGINT))")}
+  FROM rels
+),
+segj AS (
+  SELECT s.elem, s.fid, s.swap, w.lons, w.latps
+  FROM seg_src s JOIN way_pts w ON w.way_id = s.seg_way
+),
+segv AS (
+  SELECT elem, fid, lons, latps, swap,
+         unnest(range(1, CAST(len(lons) AS INT))) AS i
+  FROM segj
+),
+segs AS (
+  SELECT elem, fid,
+    CASE WHEN swap THEN lons[i+1] ELSE lons[i] END AS al,
+    CASE WHEN swap THEN latps[i+1] ELSE latps[i] END AS ap,
+    CASE WHEN swap THEN lons[i] ELSE lons[i+1] END AS bl,
+    CASE WHEN swap THEN latps[i] ELSE latps[i+1] END AS bp
+  FROM segv
+),
+segf AS (
+  SELECT elem, fid,
+    {_XF.format(v='al')} AS xf1, {_YF.format(v='ap')} AS yf1,
+    {_XF.format(v='bl')} AS xf2, {_YF.format(v='bp')} AS yf2
+  FROM segs
+),
+segt AS (
+  SELECT *, CAST(trunc(xf1) AS BIGINT) AS x1, CAST(trunc(yf1) AS BIGINT) AS y1,
+            CAST(trunc(xf2) AS BIGINT) AS x2, CAST(trunc(yf2) AS BIGINT) AS y2
+  FROM segf
+),
+cand AS (
+  SELECT elem, fid, x1 AS x, y1 AS y FROM segt
+  UNION ALL SELECT elem, fid, x2, y2 FROM segt
+  UNION ALL
+  SELECT elem, fid, greatest(x1, x2),
+    CAST(trunc(yf1 + (CAST(greatest(x1, x2) AS DOUBLE) - xf1) * ((yf2 - yf1) / (xf2 - xf1))) AS BIGINT)
+  FROM segt WHERE x1 <> x2
+  UNION ALL
+  SELECT elem, fid,
+    CAST(trunc(xf1 + (CAST(greatest(y1, y2) AS DOUBLE) - yf1) * ((xf2 - xf1) / (yf2 - yf1))) AS BIGINT),
+    greatest(y1, y2)
+  FROM segt WHERE y1 <> y2
+),
+allc AS (
+  SELECT * FROM cand
+  UNION ALL
+  SELECT 'node' AS elem, object_id AS fid, x, y FROM point_tiles
+),
+rolled AS (
+  SELECT DISTINCT zs.z, c.x >> (14 - zs.z) AS x, c.y >> (14 - zs.z) AS y,
+         c.elem, c.fid
+  FROM allc c
+  JOIN feat_fmz f ON f.elem = c.elem AND f.fid = c.fid,
+       (SELECT unnest([6, 13, 14]) AS z) zs
+  WHERE f.fmz <= zs.z
+)
+SELECT z, x, y, count(*) AS n_features FROM rolled GROUP BY 1, 2, 3
+"""
+
+
 ORACLES = {
     "geocode_nodes": GEOCODE_CTE + """
 SELECT node_id, lon, latp FROM all_nodes
@@ -440,6 +635,19 @@ SELECT rid AS rel_id,
   floor((CAST(latp0 AS DOUBLE)/10000000.0) * 10000.0 + 0.5) / 10000.0 AS cy4
 FROM polys WHERE h2 % 8 = 0
 """,
+    "typed_attrs": GEOCODE_CTE + """
+SELECT object_id, layer, CAST(length(name) AS DOUBLE) AS rank,
+       CAST(NULL AS BOOLEAN) AS paved
+FROM node_feats WHERE layer = 'place'
+UNION ALL
+SELECT object_id, layer, CAST(NULL AS DOUBLE) AS rank,
+       cls IN ('primary', 'secondary') AS paved
+FROM way_feats WHERE layer = 'transportation'
+""",
+    "a5_union_area": GEOCODE_CTE + """
+SELECT wid0 AS way_id, 1 AS n_polys, 5.0 AS ratio FROM polys
+""",
+    "pyramid_tiles": GEOCODE_CTE + _PYRAMID_SQL,
     "u1_layer_counts": GEOCODE_CTE + """
 SELECT layer, elem, count(*) AS n FROM (
   SELECT layer, elem FROM node_feats
@@ -476,4 +684,7 @@ QUERIES = {
     "a7_line_len2": q_a7_line_len2,
     "u1_layer_counts": q_u1_layer_counts,
     "j2_relation_rings": q_j2_relation_rings,
+    "typed_attrs": q_typed_attrs,
+    "a5_union_area": q_a5_union_area,
+    "pyramid_tiles": q_pyramid_tiles,
 }

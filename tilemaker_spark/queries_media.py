@@ -40,9 +40,13 @@ WITH m AS (
     CAST(64 + (octet_length(encode(text)) // 7) % 192 AS INT) AS height,
     CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 1
          ELSE CAST(octet_length(encode(text)) % 10 + 1 AS INT) END AS n_frames,
+    -- checksum over OCTETS (hex-pair extraction), matching the
+    -- engine's byte iteration over the UTF-8 payload — character
+    -- semantics (ord/substr on text) would silently desynchronize on
+    -- the first multibyte character
     list_reduce(list_prepend(CAST(0 AS BIGINT),
       list_transform(range(1, CAST(least(17, octet_length(encode(text)) + 1) AS INT)),
-                     i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                     i -> ('0x' || substr(hex(encode(text)), CAST(2*i - 1 AS INT), 2))::BIGINT)),
       (acc, b) -> (acc * 131 + b) % 1000000007) AS checksum
   FROM documents
 )

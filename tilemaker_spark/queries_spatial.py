@@ -26,8 +26,22 @@ def q_rasterize_z12(spark, sf_dir):
 
 
 def q_vectorize_cells(spark, sf_dir):
+    z = spatial.VECTORIZE_ZOOM
     return spatial.vectorize_raster(
-        spatial.rasterize_points(spatial._points(spark, sf_dir)))
+        spatial.rasterize_points(spatial._points(spark, sf_dir), zoom=z), zoom=z)
+
+
+def q_classify_intersects(spark, sf_dir):
+    """F5 x J4: Intersects()-during-classify — district membership
+    becomes a string attr + numeric attr on the emitted features."""
+    from pyspark.sql import functions as F
+
+    feats = spatial.with_district_attrs(
+        spatial._points(spark, sf_dir), spatial.district_table(spark))
+    return feats.select(
+        "object_id", "layer",
+        F.element_at("attrs", "district").alias("district"),
+        F.element_at("attrs_num", "district_id").alias("district_id"))
 
 
 QUERIES = {
@@ -35,6 +49,7 @@ QUERIES = {
     "knn_places": q_knn_places,
     "rasterize_z12": q_rasterize_z12,
     "vectorize_cells": q_vectorize_cells,
+    "classify_intersects": q_classify_intersects,
 }
 
 
@@ -55,6 +70,20 @@ _RASTER_CTE = """
     CAST(floor((180.0 - CAST(latp AS DOUBLE)/10000000.0) * (1.0/360.0) * 4096.0) AS BIGINT) AS y,
     CAST(floor((CAST(lon AS DOUBLE)/10000000.0 + 180.0) * (1.0/360.0) * 65536.0) AS BIGINT) % 16 AS px,
     CAST(floor((180.0 - CAST(latp AS DOUBLE)/10000000.0) * (1.0/360.0) * 65536.0) AS BIGINT) % 16 AS py,
+    count(*) AS n
+  FROM node_feats
+  GROUP BY 1, 2, 3, 4
+)
+"""
+
+
+_RASTER8_CTE = """
+, raster8 AS (
+  SELECT
+    CAST(floor((CAST(lon AS DOUBLE)/10000000.0 + 180.0) * (1.0/360.0) * 256.0) AS BIGINT) AS x,
+    CAST(floor((180.0 - CAST(latp AS DOUBLE)/10000000.0) * (1.0/360.0) * 256.0) AS BIGINT) AS y,
+    CAST(floor((CAST(lon AS DOUBLE)/10000000.0 + 180.0) * (1.0/360.0) * 4096.0) AS BIGINT) % 16 AS px,
+    CAST(floor((180.0 - CAST(latp AS DOUBLE)/10000000.0) * (1.0/360.0) * 4096.0) AS BIGINT) % 16 AS py,
     count(*) AS n
   FROM node_feats
   GROUP BY 1, 2, 3, 4
@@ -86,12 +115,24 @@ SELECT object_id, place_id, dist2, CAST(rank AS INT) AS rank FROM r WHERE rank <
     "rasterize_z12": GEOCODE_CTE + _RASTER_CTE + """
 SELECT 12 AS z, x, y, px, py, n FROM raster
 """,
-    "vectorize_cells": GEOCODE_CTE + _RASTER_CTE + """
-SELECT 12 AS z, x, y, px, py, n,
-  (x*16 + px) * (360.0/65536.0) - 180.0 AS min_lon,
-  (x*16 + px + 1) * (360.0/65536.0) - 180.0 AS max_lon,
-  180.0 - (y*16 + py + 1) * (360.0/65536.0) AS min_latp,
-  180.0 - (y*16 + py) * (360.0/65536.0) AS max_latp
-FROM raster WHERE n >= 2
+    "vectorize_cells": GEOCODE_CTE + _RASTER8_CTE + """
+SELECT 8 AS z, x, y, px, py, n,
+  (x*16 + px) * (360.0/4096.0) - 180.0 AS min_lon,
+  (x*16 + px + 1) * (360.0/4096.0) - 180.0 AS max_lon,
+  180.0 - (y*16 + py + 1) * (360.0/4096.0) AS min_latp,
+  180.0 - (y*16 + py) * (360.0/4096.0) AS max_latp
+FROM raster8 WHERE n >= 2
+""",
+    "classify_intersects": GEOCODE_CTE + _DISTRICT_CTE + f"""
+, hits AS (
+  SELECT f.object_id, f.layer, min(d.district_id) AS did
+  FROM node_feats f JOIN districts d
+    ON abs(CAST(f.lon AS BIGINT) - d.cx) + abs(CAST(f.latp AS BIGINT) - d.cy) < {spatial.DIST_R}
+  GROUP BY 1, 2
+)
+SELECT f.object_id, f.layer,
+  'd' || h.did AS district,
+  CAST(h.did AS DOUBLE) AS district_id
+FROM node_feats f LEFT JOIN hits h USING (object_id, layer)
 """,
 }

@@ -65,7 +65,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    return T.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return T.embedding_neardup_pairs(_emb(spark, sf_dir))
 
 
 QUERIES = {
@@ -220,11 +220,15 @@ SELECT doc_id, {_simhash_sql()} AS simhash FROM h
           list_transform(shingles, s -> {_sql_hash('s')}) AS hashes
         FROM sh)
 ),
-bands AS (
+bands0 AS (
   SELECT doc_id, shingles, band,
     sig[band*4 + 1]::VARCHAR || '-' || sig[band*4 + 2]::VARCHAR || '-' ||
     sig[band*4 + 3]::VARCHAR || '-' || sig[band*4 + 4]::VARCHAR AS key
   FROM sig, (SELECT unnest(range(4)) AS band)
+),
+bands AS (
+  -- hot-bucket cap (textops.MAX_LSH_BUCKET)
+  SELECT * FROM bands0 QUALIFY count(*) OVER (PARTITION BY band, key) <= {T.MAX_LSH_BUCKET}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JAC} AS jac
@@ -234,10 +238,10 @@ cand AS (
 SELECT doc_a, doc_b, jac FROM cand WHERE jac >= 0.2
 """,
     "ngram_jaccard_pairs": _SHINGLE_CTE + f"""
-, lim AS (SELECT * FROM sh WHERE doc_id < 100)
+, lim AS (SELECT * FROM sh WHERE doc_id < 200)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JAC} AS jac
 FROM lim a JOIN lim b ON a.doc_id < b.doc_id
-WHERE {_JAC} >= 0.05
+WHERE {_JAC} >= 0.02
 """,
     "ann_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
@@ -273,8 +277,12 @@ SELECT q_id, nbr_id, {_sql_r6('sim')} AS sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 3
 """,
     "embedding_neardup": f"""
-WITH b AS (
+WITH b0 AS (
   SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+b AS (
+  -- hot-bucket cap (textops.MAX_LSH_BUCKET)
+  SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bucket) <= {T.MAX_LSH_BUCKET}
 ),
 pairs AS (
   SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
@@ -282,6 +290,6 @@ pairs AS (
   FROM b a JOIN b b2 USING (bucket)
   WHERE a.vec_id < b2.vec_id
 )
-SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.4
+SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.3
 """,
 }

@@ -27,6 +27,12 @@ MINHASH_P = 4294967291  # prime < 2^32 keeps a*h below 2^63
 SIMHASH_BITS = 60       # 15 hex chars of md5 -> 60-bit token hashes
 FP_MOD = 1000000007     # fingerprint rolling-hash modulus
 FP_MUL = 131
+# LSH hot-bucket cap: a degenerate band key (e.g. a boilerplate shingle
+# pattern shared by millions of docs) would make the bucket self-join
+# O(bucket^2); buckets past the cap are dropped — their members are
+# near-universal patterns, not meaningful near-dup candidates. The same
+# QUALIFY appears in the SQL oracles so both engines agree.
+MAX_LSH_BUCKET = 1000
 
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
@@ -176,9 +182,20 @@ def with_minhash(docs: DataFrame, k: int = MINHASH_K,
                     "n_sh")
 
 
+def cap_buckets(band_rows: DataFrame, keys: list,
+                max_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket`` (hot-bucket guard —
+    see MAX_LSH_BUCKET). One extra partial-agg pass over the band rows;
+    the count join reuses the band-key partitioning."""
+    sizes = band_rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+    return (band_rows.join(sizes.where(F.col("_bn") <= max_bucket), keys)
+                     .drop("_bn"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K,
                       bands: int = MINHASH_BANDS,
-                      threshold: float = 0.2) -> DataFrame:
+                      threshold: float = 0.2,
+                      max_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
     """Near-duplicate candidate pairs by banded MinHash-LSH, refined by
     exact shingle Jaccard. Candidate generation is an equi-join on
     (band index, band key): at 10^12 docs this shuffles only
@@ -201,6 +218,7 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K,
                                         for r in range(rows)]).alias("key"))
             for b in range(bands)])).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    band_rows = cap_buckets(band_rows, ["band", "key"], max_bucket)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (a.join(b, ["band", "key"])
@@ -231,8 +249,8 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K,
     return pairs.where(F.col("jac") >= threshold)
 
 
-def ngram_jaccard_pairs(docs: DataFrame, max_doc_id: int = 100,
-                        threshold: float = 0.05) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, max_doc_id: int = 200,
+                        threshold: float = 0.02) -> DataFrame:
     """Exact n-gram Jaccard over a bounded candidate set (brute-force
     verifier — the LSH path above is the scale path)."""
     sh = (shingle_rows(docs.where(F.col("doc_id") < max_doc_id))
@@ -382,12 +400,15 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
 
 
 def embedding_neardup_pairs(emb: DataFrame, n_planes: int = 8,
-                            threshold: float = 0.9) -> DataFrame:
+                            threshold: float = 0.3,
+                            max_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
     """Embedding-cosine near-dup: LSH-bucket candidate generation +
     exact cosine refine (the same candidate-pruning contract as the
-    MinHash path — replicated exactly in the SQL oracle)."""
+    MinHash path — replicated exactly in the SQL oracle). Buckets past
+    ``max_bucket`` are dropped (hot-bucket guard)."""
     bucketed = emb.select("vec_id", "embedding",
                           lsh_bucket(F.col("embedding"), n_planes).alias("bucket"))
+    bucketed = cap_buckets(bucketed, ["bucket"], max_bucket)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (a.join(b, "bucket")
              .where(F.col("a.vec_id") < F.col("b.vec_id"))
