@@ -339,6 +339,34 @@ def test_lsh_bucket_cap(spark):
     assert uncapped.count() == 50 * 49 // 2         # all identical pairs
 
 
+# ----------------------------------------------- attribute_function remap
+
+def test_district_attribute_remap(spark):
+    """S8 attribute_function hook: custom typed attrs derived from the
+    matched reference-layer row's source columns
+    (reference: src/read_shp.cpp:40-77)."""
+    from tilemaker_spark import spatial
+    from conftest import SF_DIR
+
+    feats = spatial.with_district_attrs(
+        spatial._points(spark, SF_DIR), spatial.district_table(spark),
+        str_attrs={"dname": F.concat(F.lit("D-"), F.col("district_id").cast("string"))},
+        num_attrs={"cx_deg": F.col("cx").cast("double") / 1e7},
+        bool_attrs={"east": F.col("cx") > 100000000})
+    rows = feats.where(F.element_at("attrs", "dname").isNotNull()) \
+                .select("object_id",
+                        F.element_at("attrs", "dname").alias("dname"),
+                        F.element_at("attrs_num", "cx_deg").alias("cx_deg"),
+                        F.element_at("attrs_bool", "east").alias("east")).collect()
+    assert len(rows) > 0
+    for r in rows:
+        did = int(r["dname"][2:])
+        region, gx = did // 1000, (did % 1000) // 100
+        cx = spatial.DIST_X0 + (region % 8) * 2000000 + gx * spatial.DIST_PITCH
+        assert abs(r["cx_deg"] - cx / 1e7) < 1e-9
+        assert r["east"] == (cx > 100000000)
+
+
 # ------------------------------------------------------- kNN fallback
 
 def test_knn_sparse_fallback_exact(spark):

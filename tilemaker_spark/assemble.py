@@ -69,13 +69,19 @@ _REL_GEOM_SCHEMA = (
 
 def assemble_relation_geometries(rel_features: DataFrame, relations: DataFrame,
                                  way_coords: DataFrame) -> DataFrame:
-    """J2: multipolygon assembly per relation via applyInPandas.
+    """J2: multipolygon assembly per relation — streaming grouped
+    execution (repartition + JVM sort + mapInPandas; see streamgroups):
+    groups are tiny (a handful of member ways each), so per-group
+    applyInPandas overhead used to dominate (measured 45 s for 5k
+    relations; the actual stitching is milliseconds).
 
     Joins member ways (preserving member order — the reference's greedy
     stitcher is order-dependent, include/osm_store.h:186-239) to their
     coords, then per relation: stitch outer rings by shared endpoints,
     assign inners to the outer that contains them, fix winding.
     """
+    from .streamgroups import group_slices, stream_grouped
+
     members = relations.select(
         "rel_id",
         F.posexplode(F.concat("outer_refs", "inner_refs")).alias("m_pos", "way_id"),
@@ -86,28 +92,47 @@ def assemble_relation_geometries(rel_features: DataFrame, relations: DataFrame,
     feat = rel_features.select(
         F.col("object_id").alias("rel_id"), "elem", "layer", "kind",
         "attrs", "attrs_num", "attrs_bool", "as_centroid")
-    grouped = mem_coords.join(feat, "rel_id")
+    grouped = (mem_coords.join(feat, "rel_id")
+               .repartition(F.col("rel_id"))
+               .sortWithinPartitions("rel_id", "layer", "m_pos"))
 
-    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+    out_cols = ["object_id", "elem", "layer", "kind", "attrs", "attrs_num",
+                "attrs_bool", "as_centroid", "geom", "feat_minzoom"]
+
+    def _assemble_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = pdf["rel_id"].to_numpy(dtype=np.int64)
+        role = pdf["role"].to_numpy(dtype=object)
+        refs = pdf["refs"].to_numpy(dtype=object)
+        lons = pdf["lons"].to_numpy(dtype=object)
+        latps = pdf["latps"].to_numpy(dtype=object)
+        elem = pdf["elem"].to_numpy(dtype=object)
+        layer = pdf["layer"].to_numpy(dtype=object)
+        kind = pdf["kind"].to_numpy(dtype=np.int64)
+        attrs = pdf["attrs"].to_numpy(dtype=object)
+        anum = pdf["attrs_num"].to_numpy(dtype=object)
+        abool = pdf["attrs_bool"].to_numpy(dtype=object)
+        asc = pdf["as_centroid"].to_numpy()
         out_rows = []
-        for (rel_id,), g in pdf.groupby(["rel_id"], sort=False):
-            g = g.sort_values("m_pos")
-            # missing member ways tolerated with a warning by the reference
-            # (README.md:114) — drop them
-            g = g[g["refs"].notna()]
-            outer_ids = [np.asarray(r, dtype=np.int64) for r in g[g.role == "outer"]["refs"]]
-            inner_ids = [np.asarray(r, dtype=np.int64) for r in g[g.role == "inner"]["refs"]]
-            # node id -> coords lookup from member ways
+        for s, e in group_slices(pdf, ["rel_id", "layer"]):
+            # missing member ways tolerated with a warning by the
+            # reference (README.md:114) — drop them
+            rows = [j for j in range(s, e) if refs[j] is not None]
+            if not rows:
+                continue
+            outer_ids = [np.asarray(refs[j], dtype=np.int64)
+                         for j in rows if role[j] == "outer"]
+            inner_ids = [np.asarray(refs[j], dtype=np.int64)
+                         for j in rows if role[j] == "inner"]
             coord: dict = {}
-            for _, row in g.iterrows():
-                for nid, lo, la in zip(row["refs"], row["lons"], row["latps"]):
+            for j in rows:
+                for nid, lo, la in zip(refs[j], lons[j], latps[j]):
                     coord[int(nid)] = (int(lo), int(la))
             outers, inners = geomops.assemble_rings(outer_ids, inner_ids)
 
             def ring_xy(ids):
-                lons = np.fromiter((coord[int(i)][0] for i in ids), dtype=np.int64, count=len(ids))
-                latps = np.fromiter((coord[int(i)][1] for i in ids), dtype=np.int64, count=len(ids))
-                return lons, latps
+                lo = np.fromiter((coord[int(i)][0] for i in ids), dtype=np.int64, count=len(ids))
+                la = np.fromiter((coord[int(i)][1] for i in ids), dtype=np.int64, count=len(ids))
+                return lo, la
 
             polys = []
             for o in outers:
@@ -123,26 +148,19 @@ def assemble_relation_geometries(rel_features: DataFrame, relations: DataFrame,
                 polys.append(rings)
             if not polys:
                 continue
-            first = g.iloc[0]
+            j0 = rows[0]
             area2 = 0
             for rings in polys:
                 ox, oy = rings[0]
-                ox = np.asarray(ox, dtype=np.int64)
-                oy = np.asarray(oy, dtype=np.int64)
                 area2 += abs(int(np.sum(ox[:-1] * oy[1:] - ox[1:] * oy[:-1])))
-            out_rows.append({
-                "object_id": int(rel_id), "elem": first["elem"], "layer": first["layer"],
-                "kind": int(first["kind"]), "attrs": first["attrs"],
-                "attrs_num": first["attrs_num"], "attrs_bool": first["attrs_bool"],
-                "as_centroid": bool(first["as_centroid"]),
-                "geom": geompack.pack_polygon(polys),
-                "feat_minzoom": feature_minzoom_py(3, area2, 0),
-            })
-        cols = ["object_id", "elem", "layer", "kind", "attrs", "attrs_num",
-                "attrs_bool", "as_centroid", "geom", "feat_minzoom"]
-        return pd.DataFrame(out_rows, columns=cols)
+            out_rows.append((int(rel[j0]), elem[j0], layer[j0], int(kind[j0]),
+                             attrs[j0], anum[j0], abool[j0], bool(asc[j0]),
+                             geompack.pack_polygon(polys),
+                             feature_minzoom_py(3, area2, 0)))
+        return pd.DataFrame(out_rows, columns=out_cols)
 
-    return grouped.groupBy("rel_id").applyInPandas(_assemble, schema=_REL_GEOM_SCHEMA)
+    return grouped.mapInPandas(stream_grouped(["rel_id"], _assemble_batch),
+                               schema=_REL_GEOM_SCHEMA)
 
 
 def pack_way_geometries(way_feats_with_coords: DataFrame) -> DataFrame:

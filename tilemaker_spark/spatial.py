@@ -226,32 +226,61 @@ def poi_district_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_polygon_join(_points(spark, sf_dir), district_table(spark))
 
 
-def with_district_attrs(features: DataFrame, districts: DataFrame) -> DataFrame:
+def with_district_attrs(features: DataFrame, districts: DataFrame,
+                        str_attrs: dict | None = None,
+                        num_attrs: dict | None = None,
+                        bool_attrs: dict | None = None) -> DataFrame:
     """F5 x J4: Intersects()/FindIntersecting() DURING classification
     (reference: Lua way/node functions query the shapefile layer
     mid-classify, src/osm_lua_processing.cpp:112-130,
     src/shp_mem_tiles.cpp:26-57; CONFIGURATION.md:175-199).
 
     The classification rule's attribute table gains reference-layer
-    columns: 'district' (string attr = FindIntersecting name) and
-    numeric 'district_id', via the same broadcast cell-join + refine —
-    the point table is never shuffled, so a rule can consume spatial
-    membership at 10^12 rows."""
+    columns via the same broadcast cell-join + refine — the point table
+    is never shuffled, so a rule can consume spatial membership at
+    10^12 rows.
+
+    ``str_attrs``/``num_attrs``/``bool_attrs`` are the
+    ``attribute_function`` remap hook (S8, src/read_shp.cpp:40-77):
+    dicts of attr name -> Column over the matched reference-layer row's
+    SOURCE COLUMNS (district_id, cx, cy, ...), typed like the
+    reference's string/double/bool Tile_Value arms. Defaults emit
+    'district' (string) and 'district_id' (numeric)."""
+    if str_attrs is None:
+        str_attrs = {"district": F.concat(F.lit("d"), F.col("district_id").cast("string"))}
+    if num_attrs is None:
+        num_attrs = {"district_id": F.col("district_id").cast("double")}
+    bool_attrs = bool_attrs or {}
     hits = (point_in_polygon_join(features, districts)
             .groupBy("object_id", "layer")
             .agg(F.min("district_id").alias("_did")))   # deterministic pick
+    # attach the reference layer's source columns for the remap exprs
+    # (tiny dim table -> broadcast)
+    src_cols = districts.drop("ring_lon", "ring_latp")
+    hits = hits.join(F.broadcast(src_cols),
+                     hits["_did"] == src_cols["district_id"], "left").drop("_did")
     joined = features.join(hits, ["object_id", "layer"], "left")
-    in_d = F.col("_did").isNotNull()
-    return (joined
-            .withColumn("attrs", F.when(
-                in_d, F.map_concat(F.col("attrs"), F.create_map(
-                    F.lit("district"), F.concat(F.lit("d"), F.col("_did").cast("string"))))
-                ).otherwise(F.col("attrs")))
-            .withColumn("attrs_num", F.when(
-                in_d, F.map_concat(F.col("attrs_num"), F.create_map(
-                    F.lit("district_id"), F.col("_did").cast("double")))
-                ).otherwise(F.col("attrs_num")))
-            .drop("_did"))
+    in_d = F.col("district_id").isNotNull()
+
+    def _mk(attrs, cast_t):
+        return F.map_from_arrays(
+            F.array(*[F.lit(n) for n in attrs]),
+            F.array(*[attrs[n].cast(cast_t) for n in attrs]))
+
+    out = joined
+    if str_attrs:
+        out = out.withColumn("attrs", F.when(
+            in_d, F.map_concat(F.col("attrs"), _mk(str_attrs, "string"))
+            ).otherwise(F.col("attrs")))
+    if num_attrs:
+        out = out.withColumn("attrs_num", F.when(
+            in_d, F.map_concat(F.col("attrs_num"), _mk(num_attrs, "double"))
+            ).otherwise(F.col("attrs_num")))
+    if bool_attrs:
+        out = out.withColumn("attrs_bool", F.when(
+            in_d, F.map_concat(F.col("attrs_bool"), _mk(bool_attrs, "boolean"))
+            ).otherwise(F.col("attrs_bool")))
+    return out.drop(*[c for c in src_cols.columns])
 
 
 # ----------------------------------------------------------------- kNN
@@ -273,10 +302,14 @@ def knn_join(queries: DataFrame, places: DataFrame, k: int = KNN_K,
     qx, qy = point_tile_expr(F.col("lon"), F.col("latp"), cell_zoom)
     px, py = point_tile_expr(F.col("lon"), F.col("latp"), cell_zoom)
 
+    # p and q are each consumed by several join branches below; without
+    # materialization every branch re-executes the caller's upstream
+    # subtree (e.g. geocode+classify in poi_knn) from scratch
     p = places.select("place_id", F.col("lon").alias("p_lon"), F.col("latp").alias("p_latp"),
-                      (px * F.lit(1 << cell_zoom) + py).alias("cell"))
+                      (px * F.lit(1 << cell_zoom) + py).alias("cell")).localCheckpoint()
     offs = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
-    q = queries.select("object_id", "lon", "latp", qx.alias("qx"), qy.alias("qy"))
+    q = queries.select("object_id", "lon", "latp",
+                       qx.alias("qx"), qy.alias("qy")).localCheckpoint()
     q_cells = q.select(
         "object_id", "lon", "latp",
         F.explode(F.array(*[
@@ -291,7 +324,13 @@ def knn_join(queries: DataFrame, places: DataFrame, k: int = KNN_K,
     cand = (q_cells.join(p, "cell")
             .select("object_id", "place_id", dist2.alias("dist2")))
     w = Window.partitionBy("object_id").orderBy("dist2", "place_id")
-    ranked = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    # ranked feeds THREE consumers (good, the certify stats, the anti
+    # join) — materialize it or Catalyst re-executes the window+join
+    # subtree per consumer (the round-1 minhash lesson; measured 100+ s
+    # of a 25 s job re-run). On a cluster this is the natural
+    # stage-checkpoint boundary.
+    ranked = (cand.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k).localCheckpoint())
 
     # certification: k-th distance must fit inside (ring-?) cells in BOTH
     # axes; conservative fixed-unit cell sizes (floor - 1)
@@ -301,14 +340,15 @@ def knn_join(queries: DataFrame, places: DataFrame, k: int = KNN_K,
     safe2 = (safe - 1) * (safe - 1)
     stats = ranked.groupBy("object_id").agg(
         F.count(F.lit(1)).alias("n_cand"), F.max("dist2").alias("kth_dist2"))
-    certified = stats.where((F.col("n_cand") >= k) & (F.col("kth_dist2") <= F.lit(safe2)))
+    certified = stats.where((F.col("n_cand") >= k)
+                            & (F.col("kth_dist2") <= F.lit(safe2))).localCheckpoint()
     good = ranked.join(certified.select("object_id"), "object_id", "left_semi")
 
     # fallback stage 1: WIDER ring window for uncertified queries — same
     # bounded equi-join shape, never a whole-table broadcast. At sane
     # densities this certifies (ring*8 covers ~any local sparsity hole).
-    uncert = queries.join(certified.select("object_id"), "object_id", "left_anti") \
-                    .select("object_id", "lon", "latp", qx.alias("qx"), qy.alias("qy"))
+    uncert = (q.join(certified.select("object_id"), "object_id", "left_anti")
+              .localCheckpoint())
     wide = ring * 8
     # two sequence explodes keep the codegen tree small (a 33x33 literal
     # array of cell expressions measurably blows janino compile time)
@@ -322,12 +362,14 @@ def knn_join(queries: DataFrame, places: DataFrame, k: int = KNN_K,
                         + (F.col("qy") + F.col("ddy"))).alias("cell")))
     cand_w = (u_cells.join(p, "cell")
               .select("object_id", "place_id", dist2.alias("dist2")))
-    ranked_w = cand_w.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    ranked_w = (cand_w.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k).localCheckpoint())
     safe_w = wide * min(w_lon, w_latp)
     safe2_w = (safe_w - 1) * (safe_w - 1)
     stats_w = ranked_w.groupBy("object_id").agg(
         F.count(F.lit(1)).alias("n_cand"), F.max("dist2").alias("kth_dist2"))
-    cert_w = stats_w.where((F.col("n_cand") >= k) & (F.col("kth_dist2") <= F.lit(safe2_w)))
+    cert_w = stats_w.where((F.col("n_cand") >= k)
+                           & (F.col("kth_dist2") <= F.lit(safe2_w))).localCheckpoint()
     good_w = ranked_w.join(cert_w.select("object_id"), "object_id", "left_semi")
 
     # fallback stage 2: exact brute force for the residue. The RESIDUAL
@@ -337,9 +379,7 @@ def knn_join(queries: DataFrame, places: DataFrame, k: int = KNN_K,
     # all of places, an unbounded driver-side cost at 10^12 rows).
     residue = (uncert.join(cert_w.select("object_id"), "object_id", "left_anti")
                .select("object_id", "lon", "latp"))
-    brute = (F.broadcast(residue).crossJoin(
-                places.select("place_id", F.col("lon").alias("p_lon"),
-                              F.col("latp").alias("p_latp")))
+    brute = (F.broadcast(residue).crossJoin(p.drop("cell"))
              .select("object_id", "place_id", dist2.alias("dist2")))
     brute_ranked = brute.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
