@@ -33,18 +33,21 @@ N_SMALL = 8
 N_BIG = 32
 
 
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return time.time() - t0
+
+
 def cpu_ceiling() -> dict:
     """Pure-CPU parallel throughput at 1/N_SMALL/N_BIG procs (measures
-    the host's all-core frequency drop — the max achievable scaling)."""
+    the host's all-core frequency drop — the max achievable scaling).
+    _burn is module-level so Pool can pickle it under any start method."""
     import multiprocessing as mp
 
-    def burn(_):
-        t0 = time.time()
-        x = 0
-        for i in range(20_000_000):
-            x += i * i
-        return time.time() - t0
-
+    burn = _burn
     out = {}
     for procs in (1, N_SMALL, N_BIG):
         with mp.Pool(procs) as pool:
@@ -55,7 +58,7 @@ def cpu_ceiling() -> dict:
     return {"throughput_tasks_per_sec": out, "max_efficiency": round(ceil, 3)}
 
 
-def run_level(cpus: int, mult: int) -> None:
+def run_level(cpus: int, mult: int, jobs: str = "all") -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import functions as F
 
@@ -74,15 +77,22 @@ def run_level(cpus: int, mult: int) -> None:
     n_docs = docs.count()
 
     res = {"cpus": cpus, "mult": mult, "docs": n_docs}
+    want = set(jobs.split(",")) if jobs != "all" else {"pyramid", "minhash", "spjoin"}
 
-    t0 = time.time()
-    tiles = pipeline.pyramid_df(spark, docs)
-    agg = tiles.selectExpr("count(*) n", "sum(feature_count) f").collect()[0]
-    res["pyramid_sec"] = round(time.time() - t0, 2)
-    res["tiles"] = int(agg["n"])
-    res["encoded_features"] = int(agg["f"])
-    res["tiles_per_sec"] = round(agg["n"] / res["pyramid_sec"], 2)
+    if "pyramid" in want:
+        t0 = time.time()
+        tiles = pipeline.pyramid_df(spark, docs)
+        agg = tiles.selectExpr("count(*) n", "sum(feature_count) f").collect()[0]
+        res["pyramid_sec"] = round(time.time() - t0, 2)
+        res["tiles"] = int(agg["n"])
+        res["encoded_features"] = int(agg["f"])
+        res["tiles_per_sec"] = round(agg["n"] / res["pyramid_sec"], 2)
 
+    if "minhash" not in want or "spjoin" not in want:
+        if "minhash" not in want and "spjoin" not in want:
+            print(json.dumps(res))
+            spark.stop()
+            return
     t0 = time.time()
     n_pairs = textops.minhash_lsh_pairs(docs).count()
     res["minhash_sec"] = round(time.time() - t0, 2)
@@ -107,7 +117,8 @@ def run_level(cpus: int, mult: int) -> None:
 
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "run":
-        run_level(int(sys.argv[2]), int(sys.argv[3]))
+        run_level(int(sys.argv[2]), int(sys.argv[3]),
+                  sys.argv[4] if len(sys.argv) > 4 else "all")
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else MULT_DEFAULT
     results = {}

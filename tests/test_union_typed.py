@@ -339,6 +339,55 @@ def test_lsh_bucket_cap(spark):
     assert uncapped.count() == 50 * 49 // 2         # all identical pairs
 
 
+def test_exact_clip_donut_straddling_tiles(spark):
+    """G9: a donut whose hole straddles a tile boundary — the exact
+    even-odd clip path. Each side tile must decode to the correct
+    clipped area (outer minus hole part), with no phantom geometry."""
+    x, y = _tile_xy()
+    bb = M.TileBbox(x, y, TILE_Z)
+    # center the donut ON the boundary between tile x and x+1
+    cx = int(bb.max_lon * 1e7)
+    cy = int((bb.min_latp + bb.max_latp) / 2 * 1e7)
+    r = 40000                      # outer half-side (fixed units)
+    h = 20000                      # hole half-side
+
+    def square_ring(half, outer=True):
+        dx = np.array([-1, -1, 1, 1, -1], dtype=np.int64)
+        dy = np.array([-1, 1, 1, -1, -1], dtype=np.int64)
+        lons = cx + dx * half
+        latps = cy + dy * half
+        return geomops.correct_winding(lons, latps, outer=outer)
+
+    geom = geompack.pack_polygon([[square_ring(r, True), square_ring(h, False)]])
+    rows = [
+        (TILE_Z, x, y, 1, "way", "building", 3, {}, {}, {}, False, bytearray(geom), None, None),
+        (TILE_Z, x + 1, y, 1, "way", "building", 3, {}, {}, {}, False, bytearray(geom), None, None),
+    ]
+    cfg = default_config()
+    cfg.compress = False
+    tiles = {(t["x"],): t for t in encode_zoom(_assigned_df(spark, rows), cfg).collect()}
+    assert len(tiles) == 2
+    for tx, tt in ((x, tiles[(x,)]), (x + 1, tiles[(x + 1,)])):
+        tb = M.TileBbox(tx, y, TILE_Z)
+        (layer,) = parse_tile(bytes(tt["tile"]))
+        (gt, cmds, _), = layer["features"]
+        assert gt == 3
+        rings = decode_poly_rings(cmds)
+        px_area = sum(ring_area(rg) for rg in rings)
+        # px ring winding: y grows downward, so decoded signed areas flip;
+        # take absolute net area via even-odd: outer minus hole = sum of
+        # signed areas with consistent orientation
+        px_area = abs(px_area)
+        # expected: clip box reaches margin m past the shared boundary
+        m = (tb.max_lon - tb.min_lon) / 200.0
+        r_deg, h_deg = r / 1e7, h / 1e7
+        outer_w = r_deg + m
+        hole_w = h_deg + m
+        exp_deg2 = (2 * r_deg) * outer_w - (2 * h_deg) * hole_w
+        exp_px = exp_deg2 / (tb.xscale * tb.yscale)
+        assert abs(px_area - exp_px) / exp_px < 0.03, (tx, px_area, exp_px)
+
+
 # ----------------------------------------------- attribute_function remap
 
 def test_district_attribute_remap(spark):

@@ -75,21 +75,42 @@ def _fmt_num(v: float) -> str:
 
 def _clip_polygon(payload, box, repair: bool = True):
     """Clip a packed multipolygon payload to box -> list of polygons,
-    each a list of (xs, ys) float-degree rings (closed). G9 + G12."""
+    each a list of (xs, ys) float-degree rings (closed). G9 + G12.
+
+    Fast path: no ring crosses the window — rings pass through
+    untouched. A polygon that crosses the boundary goes through the
+    exact even-odd boolean (kernels.polyunion.clip_polygons_exact),
+    matching Clipper ctIntersection (src/output_object.cpp:62-68)
+    including the cases per-ring Sutherland-Hodgman gets wrong: a hole
+    split by the window edge, and a concave outer splitting into
+    multiple components. S-H remains only as the segment-cap fallback."""
     polys = []
     for rings in payload:
-        out_rings = []
+        repaired = []
         for ri, (lo, la) in enumerate(rings):
             xs, ys = lo / 1e7, la / 1e7
             if repair:
                 res = geomops.remove_spikes(xs, ys)
                 if res is None:
                     if ri == 0:
-                        out_rings = []
+                        repaired = []
                         break
                     continue
                 xs, ys = res
-            if not C.ring_within_box(xs, ys, box):
+            repaired.append((xs, ys))
+        if not repaired:
+            continue
+        within = [C.ring_within_box(xs, ys, box) for xs, ys in repaired]
+        if not all(within):
+            from .kernels import polyunion
+            exact = polyunion.clip_polygons_exact([repaired], box)
+            if exact is not None:
+                polys.extend(exact)
+                continue
+            # segment-cap fallback -> per-ring S-H below
+        out_rings = []
+        for ri, (xs, ys) in enumerate(repaired):
+            if not within[ri]:
                 res = C.clip_ring(xs, ys, box)
                 if res is None:
                     if ri == 0:
@@ -219,25 +240,34 @@ def make_stream_encoder(cfg: Config):
         feats = []
         n_feats = 0
         ghash = 0
+        tag_cache: dict = {}
+        ak_col = ak_a
 
         def emit(gt, cmds, row_i):
             nonlocal n_feats, ghash
-            tag_idx = []
-            sattrs = attrs_a[row_i]
-            if sattrs:
-                for k in sorted(sattrs):
-                    tag_idx.append(dicts.key_index(k))
-                    tag_idx.append(dicts.value_index(sattrs[k]))
-            nattrs = anum_a[row_i] if anum_a is not None else None
-            if nattrs:
-                for k in sorted(nattrs):
-                    tag_idx.append(dicts.key_index(k))
-                    tag_idx.append(dicts.value_index(float(nattrs[k])))
-            battrs = abool_a[row_i] if abool_a is not None else None
-            if battrs:
-                for k in sorted(battrs):
-                    tag_idx.append(dicts.key_index(k))
-                    tag_idx.append(dicts.value_index(bool(battrs[k])))
+            # tag indices are a pure function of the attrs (== _ak) given
+            # the dictionary's first-occurrence registration — cache per
+            # group so repeated attribute sets skip the dict walks
+            akv = ak_col[row_i]
+            tag_idx = tag_cache.get(akv)
+            if tag_idx is None:
+                tag_idx = []
+                sattrs = attrs_a[row_i]
+                if sattrs:
+                    for k in sorted(sattrs):
+                        tag_idx.append(dicts.key_index(k))
+                        tag_idx.append(dicts.value_index(sattrs[k]))
+                nattrs = anum_a[row_i] if anum_a is not None else None
+                if nattrs:
+                    for k in sorted(nattrs):
+                        tag_idx.append(dicts.key_index(k))
+                        tag_idx.append(dicts.value_index(float(nattrs[k])))
+                battrs = abool_a[row_i] if abool_a is not None else None
+                if battrs:
+                    for k in sorted(battrs):
+                        tag_idx.append(dicts.key_index(k))
+                        tag_idx.append(dicts.value_index(bool(battrs[k])))
+                tag_cache[akv] = tag_idx
             geom_bytes = mvt.varint_array(cmds)
             feats.append(mvt.encode_feature_raw(
                 gt, geom_bytes, tag_idx,

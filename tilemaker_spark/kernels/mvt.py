@@ -27,7 +27,12 @@ GEOM_UNKNOWN, GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON = 0, 1, 2, 3
 
 
 # ---------------------------------------------------------------- protobuf
+_VARINT1 = [bytes([i]) for i in range(128)]
+
+
 def _varint(n: int) -> bytes:
+    if 0 <= n < 128:
+        return _VARINT1[n]
     out = bytearray()
     n &= 0xFFFFFFFFFFFFFFFF
     while True:
@@ -72,6 +77,11 @@ def varint_array(vals, return_lens: bool = False):
     n = len(v)
     if n == 0:
         return (b"", np.empty(0, np.int64)) if return_lens else b""
+    if n <= 48 and not return_lens:
+        # scalar path: numpy's per-call overhead (~100 us of array
+        # machinery) dwarfs the work for short command lists — points
+        # are 3 ints, small lines a few dozen
+        return b"".join(_varint(int(x)) for x in v)
     nb = np.ones(n, np.int64)
     for k in range(1, 10):
         m = v >= np.uint64(1 << (7 * k))

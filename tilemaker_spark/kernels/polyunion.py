@@ -45,6 +45,33 @@ def union_polygons(polys):
     float-degree rings (ring 0 outer, winding already corrected).
     Returns the region union in the same structure. Falls back to the
     input (concatenation semantics) past MAX_UNION_SEGMENTS."""
+    return boolean_regions(polys, lambda m: m.any(axis=1), fallback=polys)
+
+
+def clip_polygons_exact(polys, box):
+    """G9 exact multipolygon ∩ box under even-odd semantics — the
+    Vatti/Clipper-equivalent path (reference ctIntersection,
+    src/output_object.cpp:62-68) used when per-ring Sutherland-Hodgman
+    is unsound (a hole split by the clip boundary). The box becomes one
+    more even-odd region; combine = (union of polygon regions) AND box."""
+    xmin, ymin, xmax, ymax = box
+    box_ring = (np.array([xmin, xmax, xmax, xmin, xmin], dtype=np.float64),
+                np.array([ymin, ymin, ymax, ymax, ymin], dtype=np.float64))
+    regions = list(polys) + [[box_ring]]
+    np_ = len(polys)
+
+    def combine(m):
+        return m[:, :np_].any(axis=1) & m[:, np_]
+
+    # fallback None: caller falls back to per-ring Sutherland-Hodgman
+    return boolean_regions(regions, combine, fallback=None)
+
+
+def boolean_regions(polys, combine, fallback):
+    """Segment-selection boolean over even-odd regions. ``polys`` is a
+    list of regions (each a list of closed float rings); ``combine``
+    maps the per-point (P, n_regions) parity matrix to the compound
+    region membership. Returns the compound region's polygons."""
     rings = []   # (pid, int_xs, int_ys) open rings
     all_x = []
     all_y = []
@@ -84,7 +111,7 @@ def union_polygons(polys):
     sx0, sy0, sx1, sy1, spid = sx0[nz], sy0[nz], sx1[nz], sy1[nz], spid[nz]
     S = len(sx0)
     if S > MAX_UNION_SEGMENTS:
-        return polys
+        return fallback
 
     # ---- candidate pairs: bbox overlap between different input polygons
     bxmin = np.minimum(sx0, sx1)
@@ -167,8 +194,8 @@ def union_polygons(polys):
     rx, ry = mx - eps * nxl, my - eps * nyl      # right sample
 
     npoly = len(polys)
-    left_in = _inside_any(lx, ly, sx0, sy0, sx1, sy1, spid, npoly)
-    right_in = _inside_any(rx, ry, sx0, sy0, sx1, sy1, spid, npoly)
+    left_in = combine(_inside_matrix(lx, ly, sx0, sy0, sx1, sy1, spid, npoly))
+    right_in = combine(_inside_matrix(rx, ry, sx0, sy0, sx1, sy1, spid, npoly))
     keep = left_in != right_in
     # orient interior-on-left
     flip = keep & right_in
@@ -228,12 +255,12 @@ def _close(xs, ys):
     return (np.concatenate((xs, xs[:1])), np.concatenate((ys, ys[:1])))
 
 
-def _inside_any(px, py, sx0, sy0, sx1, sy1, spid, npoly) -> np.ndarray:
-    """For each sample point: is it inside the union of the per-polygon
-    even-odd regions? Vectorized ray cast (points x segments), parity
-    folded per input polygon id."""
+def _inside_matrix(px, py, sx0, sy0, sx1, sy1, spid, npoly) -> np.ndarray:
+    """Per sample point and per region: even-odd parity membership.
+    Vectorized ray cast (points x segments), parity folded per region
+    id; returns a (n_points, n_regions) bool matrix."""
     P = len(px)
-    inside = np.zeros(P, dtype=bool)
+    inside = np.zeros((P, npoly), dtype=bool)
     x0 = sx0.astype(np.float64)[None, :]
     y0 = sy0.astype(np.float64)[None, :]
     x1 = sx1.astype(np.float64)[None, :]
@@ -248,7 +275,7 @@ def _inside_any(px, py, sx0, sy0, sx1, sy1, spid, npoly) -> np.ndarray:
     for pid in range(npoly):
         cols = spid == pid
         if cols.any():
-            inside |= (hit[:, cols].sum(axis=1) % 2).astype(bool)
+            inside[:, pid] = (hit[:, cols].sum(axis=1) % 2).astype(bool)
     return inside
 
 

@@ -19,9 +19,9 @@ def get_spark(app_name: str = "tilemaker_spark", cpus: int | None = None,
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         # at cluster scale this is sized to data volume; in local mode
-        # match cores so every stage saturates the machine without
-        # excessive tiny tasks
-        shuffle_partitions = max(int(cpus), 8)
+        # 2x cores balances hash-partition skew (measured 3x row skew at
+        # 1x) while AQE coalesces the small ones
+        shuffle_partitions = max(int(cpus) * 2, 16)
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -30,7 +30,10 @@ def get_spark(app_name: str = "tilemaker_spark", cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # Arrow batch size is a first-order throughput knob for the
+        # streaming encoders: per-batch fixed cost measured ~0.4 s with
+        # binary columns — 20k-row batches made a 9 s transfer take 89 s
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
