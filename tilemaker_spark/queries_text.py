@@ -68,6 +68,10 @@ def q_embedding_neardup(spark, sf_dir):
     return T.embedding_neardup_pairs(_emb(spark, sf_dir))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    return T.ann_ivf_topk(_emb(spark, sf_dir))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
@@ -79,6 +83,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
 }
 
@@ -271,6 +276,42 @@ scored AS (
 ranked AS (
   SELECT q_id, nbr_id, sim,
     row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nbr_id) AS rank
+  FROM scored
+)
+SELECT q_id, nbr_id, {_sql_r6('sim')} AS sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+    "ann_ivf_topk": f"""
+WITH cents AS (
+  SELECT c, list_transform(range(64),
+    i -> CAST((((7 + (c*64 + i)*2654435761) % 4294967296) % 2001) - 1000 AS DOUBLE)/1000.0) AS cv
+  FROM (SELECT unnest(range({T.IVF_K})) AS c)
+),
+dist AS (
+  SELECT e.vec_id, e.embedding, c.c,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))),
+      (a, b) -> a + b) AS d
+  FROM embeddings e, cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, c AS ivf_list FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dist)
+  WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, c AS ivf_list FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM dist WHERE vec_id < 10)
+  WHERE rn <= {T.IVF_NPROBE}
+),
+scored AS (
+  SELECT q.q_id, a.vec_id AS nbr_id, {_sql_cosine('q.q_emb', 'a.embedding')} AS sim
+  FROM assigned a JOIN qprobe q USING (ivf_list)
+  WHERE q.q_id <> a.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nbr_id) AS rank
   FROM scored
 )
 SELECT q_id, nbr_id, {_sql_r6('sim')} AS sim, CAST(rank AS INT) AS rank

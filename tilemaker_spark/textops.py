@@ -399,6 +399,87 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
                   .select("q_id", "nbr_id", r6(F.col("sim")).alias("sim"), "rank"))
 
 
+IVF_K = 16          # coarse centroids
+IVF_NPROBE = 4      # centroid lists probed per query
+
+
+def ivf_centroids(k: int = IVF_K, dim: int = 64):
+    """Deterministic coarse quantizer: k pseudo-random unit-cube
+    centroids (the same linear-congruential stream as hyperplanes, so
+    the SQL oracle regenerates them exactly). A trained quantizer drops
+    in by replacing this table — the join shape is unchanged."""
+    cents = []
+    for c in range(k):
+        v = [(((7 + (c * dim + i) * 2654435761) % 4294967296) % 2001 - 1000) / 1000.0
+             for i in range(dim)]
+        cents.append(v)
+    return cents
+
+
+def _centroid_dist2(emb_col: Column, cent: list) -> Column:
+    carr = F.array(*[F.lit(float(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(emb_col, carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda a, v: a + v)
+
+
+def with_ivf_list(emb: DataFrame, k: int = IVF_K, dim: int = 64,
+                  out: str = "ivf_list") -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (IVF list id).
+    Pure column math — at 10^12 rows this is a narrow map; the list id
+    becomes the Iceberg partition key for the ANN index table.
+
+    Distances are STAGED as named columns before the argmin — a
+    when-chain over inlined 64-element aggregates re-evaluates every
+    subtree and explodes codegen (the round-1 janino lesson)."""
+    cents = ivf_centroids(k, dim)
+    staged = emb.select(
+        "*", *[_centroid_dist2(F.col("embedding"), cents[c]).alias(f"_d{c}")
+               for c in range(k)])
+    arr = F.array(*[F.struct(F.col(f"_d{c}").alias("d"), F.lit(c).alias("lid"))
+                    for c in range(k)])
+    # argmin with lowest-lid tie-break == ORDER BY d, lid
+    return (staged.withColumn(out, F.element_at(F.array_sort(arr), 1)["lid"])
+                  .drop(*[f"_d{c}" for c in range(k)]))
+
+
+def ann_ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
+                 nprobe: int = IVF_NPROBE, n_lists: int = IVF_K) -> DataFrame:
+    """IVF-flat approximate top-k: corpus bucketed by nearest coarse
+    centroid; each query probes its ``nprobe`` nearest lists (equi-join
+    on list id — never a corpus scan per query) and exact-cosine
+    re-ranks within. The scale shape of FAISS-style IVF on Spark:
+    candidate volume ~ nprobe/n_lists of the corpus per query."""
+    from pyspark.sql.window import Window
+
+    dim = 64
+    cents = ivf_centroids(n_lists, dim)
+    listed = with_ivf_list(emb, n_lists, dim).localCheckpoint()
+    q0 = listed.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    # per-query nprobe nearest centroid lists; distances staged (see
+    # with_ivf_list), k lists -> tiny explode
+    q_staged = q0.select(
+        "*", *[_centroid_dist2(F.col("q_emb"), cents[c]).alias(f"_d{c}")
+               for c in range(n_lists)])
+    probe_struct = F.array(*[
+        F.struct(F.col(f"_d{c}").alias("d"), F.lit(c).alias("lid"))
+        for c in range(n_lists)])
+    q = (q_staged
+         .select("q_id", "q_emb",
+                 F.explode(F.slice(F.array_sort(probe_struct), 1, nprobe)).alias("p"))
+         .select("q_id", "q_emb", F.col("p.lid").alias("ivf_list")))
+    c = listed.select(F.col("vec_id").alias("nbr_id"),
+                      F.col("embedding").alias("c_emb"), "ivf_list")
+    scored = (c.join(F.broadcast(q), "ivf_list")
+               .where(F.col("q_id") != F.col("nbr_id"))
+               .select("q_id", "nbr_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("sim")))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("q_id", "nbr_id", r6(F.col("sim")).alias("sim"), "rank"))
+
+
 def embedding_neardup_pairs(emb: DataFrame, n_planes: int = 8,
                             threshold: float = 0.3,
                             max_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
