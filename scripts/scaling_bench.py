@@ -88,28 +88,25 @@ def run_level(cpus: int, mult: int, jobs: str = "all") -> None:
         res["encoded_features"] = int(agg["f"])
         res["tiles_per_sec"] = round(agg["n"] / res["pyramid_sec"], 2)
 
-    if "minhash" not in want or "spjoin" not in want:
-        if "minhash" not in want and "spjoin" not in want:
-            print(json.dumps(res))
-            spark.stop()
-            return
-    t0 = time.time()
-    n_pairs = textops.minhash_lsh_pairs(docs).count()
-    res["minhash_sec"] = round(time.time() - t0, 2)
-    res["minhash_pairs"] = n_pairs
+    if "minhash" in want:
+        t0 = time.time()
+        n_pairs = textops.minhash_lsh_pairs(docs).count()
+        res["minhash_sec"] = round(time.time() - t0, 2)
+        res["minhash_pairs"] = n_pairs
 
-    t0 = time.time()
-    nodes, _, _ = geocode.geocode(docs)
-    pts = classify.classify_nodes(nodes)
-    n_join = spatial.point_in_polygon_join(pts, spatial.district_table(spark)).count()
-    queries = pts.where(F.col("layer") == "poi").select("object_id", "lon", "latp")
-    places = pts.where(F.col("layer") == "place").select(
-        F.col("object_id").alias("place_id"), "lon", "latp")
-    n_knn = spatial.knn_join(queries, places).count()
-    res["spjoin_sec"] = round(time.time() - t0, 2)
-    res["join_rows"] = n_join
-    res["knn_rows"] = n_knn
-    res["join_rows_per_sec"] = round((n_join + n_knn) / res["spjoin_sec"], 1)
+    if "spjoin" in want:
+        t0 = time.time()
+        nodes, _, _ = geocode.geocode(docs)
+        pts = classify.classify_nodes(nodes)
+        n_join = spatial.point_in_polygon_join(pts, spatial.district_table(spark)).count()
+        queries = pts.where(F.col("layer") == "poi").select("object_id", "lon", "latp")
+        places = pts.where(F.col("layer") == "place").select(
+            F.col("object_id").alias("place_id"), "lon", "latp")
+        n_knn = spatial.knn_join(queries, places).count()
+        res["spjoin_sec"] = round(time.time() - t0, 2)
+        res["join_rows"] = n_join
+        res["knn_rows"] = n_knn
+        res["join_rows_per_sec"] = round((n_join + n_knn) / res["spjoin_sec"], 1)
 
     print(json.dumps(res))
     spark.stop()

@@ -52,24 +52,10 @@ _OUT_COLS = ["z", "x", "y", "order_idx", "layer_bytes", "feature_count",
              "layer_hash", "raw_bytes"]
 
 
-def _attrs_key(sattrs: dict, nattrs: dict | None = None,
-               battrs: dict | None = None) -> str:
-    """Canonical attribute sort key (A4) — mirrors the reference's
-    typed Tile_Value compare (src/output_object.cpp:154-176): entries
-    sorted by key with a type marker so 's'/'f'/'b' arms never collide.
-    Must stay in sync with the Catalyst `_ak` expression in encode_zoom."""
-    entries = [f"{k}\x1es\x1d{v}" for k, v in (sattrs or {}).items()]
-    entries += [f"{k}\x1ef\x1d{_fmt_num(v)}" for k, v in (nattrs or {}).items()]
-    entries += [f"{k}\x1eb\x1d{str(bool(v)).lower()}" for k, v in (battrs or {}).items()]
-    return "\x1f".join(sorted(entries))
-
-
-def _fmt_num(v: float) -> str:
-    """Float canonical text — integral values print without '.0' to match
-    Catalyst's CAST(double AS STRING) for whole numbers."""
-    f = float(v)
-    return str(int(f)) if f == int(f) and abs(f) < 1e15 else repr(f)
-
+# The canonical A4 attribute key (`_ak`) is derived ONCE, as a Catalyst
+# expression in encode_zoom — there is deliberately no Python twin (a
+# Python re-derivation would drift on double rendering: repr(1e20) vs
+# Spark CAST(double AS STRING)).
 
 # ------------------------------------------------------- geometry encoding
 

@@ -36,8 +36,24 @@ BASE_SCALE = 1e8
 # intersection / side tests is exact in int64 AND float64
 MAX_COORD = float(1 << 25)
 # scale guard: beyond this many segments fall back to concatenation
-# (documented cap — a degenerate mega-run can't go O(S^2))
+# (documented cap — a degenerate mega-run can't stall an executor)
 MAX_UNION_SEGMENTS = 20000
+# candidate-pair guard: bbox-overlapping cross-polygon pairs beyond this
+# (near-coincident mega-inputs) also fall back — keeps the split stage
+# O(pairs) with pairs bounded, never O(S^2) blind. Pairs are processed
+# in fixed-size chunks, so this caps TIME; memory stays O(_PAIR_CHUNK).
+MAX_UNION_PAIRS = 20_000_000
+# pairs processed per vectorized chunk (bounds peak memory to O(chunk))
+_PAIR_CHUNK = 262_144
+# parity-matrix cells (points x segments) per chunk
+_PARITY_CHUNK = 4_000_000
+
+# observability: open (non-closing) chains dropped by _stitch since
+# module load — silent area loss is detectable (ADVICE round 2)
+STITCH_OPEN_DROPS = 0
+
+# set to a dict to capture internals (debug only)
+_DEBUG = None
 
 
 def union_polygons(polys):
@@ -113,25 +129,60 @@ def boolean_regions(polys, combine, fallback):
     if S > MAX_UNION_SEGMENTS:
         return fallback
 
-    # ---- candidate pairs: bbox overlap between different input polygons
+    # ---- candidate pairs: bbox overlap between different input polygons.
+    # Sort-sweep on x (Clipper's scanbeam never materializes all pairs,
+    # include/clipper.hpp — neither do we): for segment a in bxmin order,
+    # candidates are the b > a with bxmin[b] <= bxmax[a]; enumerated in
+    # fixed-size chunks so peak memory is O(_PAIR_CHUNK), never O(S^2).
     bxmin = np.minimum(sx0, sx1)
     bxmax = np.maximum(sx0, sx1)
     bymin = np.minimum(sy0, sy1)
     bymax = np.maximum(sy0, sy1)
-    ii, jj = np.meshgrid(np.arange(S), np.arange(S), indexing="ij")
-    cand = ((ii < jj) & (spid[ii] != spid[jj])
-            & (bxmin[ii] <= bxmax[jj]) & (bxmin[jj] <= bxmax[ii])
-            & (bymin[ii] <= bymax[jj]) & (bymin[jj] <= bymax[ii]))
-    pi, pj = np.nonzero(cand)
+    order = np.argsort(bxmin, kind="stable")
+    oxmin = bxmin[order]
+    ends = np.searchsorted(oxmin, bxmax[order], side="right")
+    counts = np.maximum(ends - np.arange(S) - 1, 0)
+    if int(counts.sum()) > MAX_UNION_PAIRS:
+        return fallback
 
-    splits: dict = {}  # seg index -> list of (x, y) split points
+    # split points accumulated as flat arrays (seg index, x, y)
+    sp_k: list = []
+    sp_x: list = []
+    sp_y: list = []
 
-    def add_split(k, x, y):
-        if (x == sx0[k] and y == sy0[k]) or (x == sx1[k] and y == sy1[k]):
-            return
-        splits.setdefault(int(k), []).append((int(x), int(y)))
+    def _emit_splits(kk, xx, yy):
+        """Queue split points, dropping those equal to an endpoint."""
+        at_end = (((xx == sx0[kk]) & (yy == sy0[kk]))
+                  | ((xx == sx1[kk]) & (yy == sy1[kk])))
+        keep = ~at_end
+        if keep.any():
+            sp_k.append(kk[keep])
+            sp_x.append(xx[keep])
+            sp_y.append(yy[keep])
 
-    if len(pi):
+    csum = np.concatenate(([0], np.cumsum(counts)))
+    a_pos = 0
+    while a_pos < S:
+        # block of sweep positions whose total candidate count <= chunk
+        stop = int(np.searchsorted(csum, csum[a_pos] + _PAIR_CHUNK, side="right"))
+        stop = max(stop - 1, a_pos + 1)
+        blk = np.arange(a_pos, min(stop, S))
+        cnt = counts[blk]
+        a_pos = int(blk[-1]) + 1
+        tot = int(cnt.sum())
+        if tot == 0:
+            continue
+        ai = np.repeat(blk, cnt)
+        offs = np.arange(tot) - np.repeat(csum[blk] - csum[blk[0]], cnt)
+        bi = ai + 1 + offs
+        pi = order[ai]
+        pj = order[bi]
+        m = ((spid[pi] != spid[pj])
+             & (bymin[pi] <= bymax[pj]) & (bymin[pj] <= bymax[pi]))
+        pi, pj = pi[m], pj[m]
+        if not len(pi):
+            continue
+
         ax, ay = sx0[pi].astype(np.float64), sy0[pi].astype(np.float64)
         bx, by = sx1[pi].astype(np.float64), sy1[pi].astype(np.float64)
         cxx, cyy = sx0[pj].astype(np.float64), sy0[pj].astype(np.float64)
@@ -142,44 +193,86 @@ def boolean_regions(polys, combine, fallback):
         qp_x, qp_y = cxx - ax, cyy - ay
         t_num = qp_x * s_y - qp_y * s_x
         u_num = qp_x * r_y - qp_y * r_x
-        for m in range(len(pi)):
-            i, j = int(pi[m]), int(pj[m])
-            if denom[m] != 0.0:
-                t = t_num[m] / denom[m]
-                u = u_num[m] / denom[m]
-                if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
-                    x = int(round(ax[m] + t * r_x[m]))
-                    y = int(round(ay[m] + t * r_y[m]))
-                    add_split(i, x, y)
-                    add_split(j, x, y)
-            elif t_num[m] == 0.0 and u_num[m] == 0.0:
-                # collinear: split each at the other's interior endpoints
-                for k, (ex0, ey0, ex1, ey1) in ((i, (sx0[j], sy0[j], sx1[j], sy1[j])),
-                                                (j, (sx0[i], sy0[i], sx1[i], sy1[i]))):
-                    for ex, ey in ((ex0, ey0), (ex1, ey1)):
-                        if (min(sx0[k], sx1[k]) <= ex <= max(sx0[k], sx1[k])
-                                and min(sy0[k], sy1[k]) <= ey <= max(sy0[k], sy1[k])):
-                            add_split(k, ex, ey)
 
-    # ---- sub-segments
-    ssx0, ssy0, ssx1, ssy1 = [], [], [], []
-    for k in range(S):
-        pts = [(int(sx0[k]), int(sy0[k]))]
-        if k in splits:
-            mids = sorted(set(splits[k]),
-                          key=lambda p: (p[0] - pts[0][0]) ** 2 + (p[1] - pts[0][1]) ** 2)
-            pts.extend(mids)
+        # proper (non-parallel) crossings — fully vectorized
+        nonpar = denom != 0.0
+        if nonpar.any():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.where(nonpar, t_num / denom, -1.0)
+                u = np.where(nonpar, u_num / denom, -1.0)
+            hitm = nonpar & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+            if hitm.any():
+                hx = np.rint(ax[hitm] + t[hitm] * r_x[hitm]).astype(np.int64)
+                hy = np.rint(ay[hitm] + t[hitm] * r_y[hitm]).astype(np.int64)
+                _emit_splits(pi[hitm], hx, hy)
+                _emit_splits(pj[hitm], hx, hy)
+
+        # collinear overlaps: split each at the other's covered endpoints
+        col = (~nonpar) & (t_num == 0.0) & (u_num == 0.0)
+        if col.any():
+            ci, cj = pi[col], pj[col]
+            for kk, oth in ((ci, cj), (cj, ci)):
+                kxmin, kxmax = bxmin[kk], bxmax[kk]
+                kymin, kymax = bymin[kk], bymax[kk]
+                for ex, ey in ((sx0[oth], sy0[oth]), (sx1[oth], sy1[oth])):
+                    inb = ((kxmin <= ex) & (ex <= kxmax)
+                           & (kymin <= ey) & (ey <= kymax))
+                    if inb.any():
+                        _emit_splits(kk[inb], ex[inb], ey[inb])
+
+    # ---- sub-segments: bulk-copy unsplit segments (the overwhelming
+    # majority), walk only the split ones in Python (O(#intersections))
+    if sp_k:
+        kall = np.concatenate(sp_k)
+        xall = np.concatenate(sp_x)
+        yall = np.concatenate(sp_y)
+        so = np.argsort(kall, kind="stable")
+        kall, xall, yall = kall[so], xall[so], yall[so]
+        uk, kstart = np.unique(kall, return_index=True)
+        kend = np.concatenate((kstart[1:], [len(kall)]))
+    else:
+        uk = np.empty(0, dtype=np.int64)
+        kstart = kend = uk
+    px0, py0, px1, py1, ppid = [], [], [], [], []  # array pieces, in k order
+
+    def _bulk(lo, hi):
+        if hi > lo:
+            px0.append(sx0[lo:hi])
+            py0.append(sy0[lo:hi])
+            px1.append(sx1[lo:hi])
+            py1.append(sy1[lo:hi])
+            ppid.append(spid[lo:hi])
+
+    prev = 0
+    for ui in range(len(uk)):
+        k = int(uk[ui])
+        _bulk(prev, k)
+        prev = k + 1
+        x0k, y0k = int(sx0[k]), int(sy0[k])
+        pts = [(x0k, y0k)]
+        mids = {(int(x), int(y))
+                for x, y in zip(xall[kstart[ui]:kend[ui]], yall[kstart[ui]:kend[ui]])}
+        pts.extend(sorted(mids, key=lambda p: (p[0] - x0k) ** 2 + (p[1] - y0k) ** 2))
         pts.append((int(sx1[k]), int(sy1[k])))
-        for a, b in zip(pts[:-1], pts[1:]):
-            if a != b:
-                ssx0.append(a[0])
-                ssy0.append(a[1])
-                ssx1.append(b[0])
-                ssy1.append(b[1])
-    ssx0 = np.asarray(ssx0, dtype=np.float64)
-    ssy0 = np.asarray(ssy0, dtype=np.float64)
-    ssx1 = np.asarray(ssx1, dtype=np.float64)
-    ssy1 = np.asarray(ssy1, dtype=np.float64)
+        seg_pts = [(a, b) for a, b in zip(pts[:-1], pts[1:]) if a != b]
+        if seg_pts:
+            px0.append(np.array([a[0] for a, _ in seg_pts], dtype=np.int64))
+            py0.append(np.array([a[1] for a, _ in seg_pts], dtype=np.int64))
+            px1.append(np.array([b[0] for _, b in seg_pts], dtype=np.int64))
+            py1.append(np.array([b[1] for _, b in seg_pts], dtype=np.int64))
+            ppid.append(np.full(len(seg_pts), spid[k], dtype=spid.dtype))
+    _bulk(prev, S)
+    ssx0 = np.concatenate(px0).astype(np.float64)
+    ssy0 = np.concatenate(py0).astype(np.float64)
+    ssx1 = np.concatenate(px1).astype(np.float64)
+    ssy1 = np.concatenate(py1).astype(np.float64)
+    sspid = np.concatenate(ppid)
+    # a near-coincident mega-overlap (every ring crossing every other)
+    # can explode the arrangement; the parity stage is O(pieces x
+    # overlapping-region pieces), so cap the piece count like the
+    # segment count — degenerate inputs get the documented fallback
+    if len(ssx0) > 3 * MAX_UNION_SEGMENTS:
+        return fallback
 
     # ---- parity sampling: midpoint +/- eps along the left normal
     mx = (ssx0 + ssx1) / 2.0
@@ -193,9 +286,22 @@ def boolean_regions(polys, combine, fallback):
     lx, ly = mx + eps * nxl, my + eps * nyl      # left sample
     rx, ry = mx - eps * nxl, my - eps * nyl      # right sample
 
+    # parity is ray-cast against the SNAPPED sub-segment geometry, not
+    # the original segments: a rounded crossing point sits up to ~0.7
+    # grid units off the original line, which would defeat the +/-0.25
+    # sampling — against the pieced boundary the midpoint is exactly on
+    # its own piece, so the two samples always straddle it (Clipper
+    # likewise operates wholly on snapped integer geometry,
+    # include/clipper.hpp). Each region's pieced boundary remains a
+    # closed loop (splits preserve connectivity), so even-odd parity is
+    # well-defined.
     npoly = len(polys)
-    left_in = combine(_inside_matrix(lx, ly, sx0, sy0, sx1, sy1, spid, npoly))
-    right_in = combine(_inside_matrix(rx, ry, sx0, sy0, sx1, sy1, spid, npoly))
+    left_in = combine(_inside_matrix(lx, ly, ssx0, ssy0, ssx1, ssy1, sspid, npoly))
+    right_in = combine(_inside_matrix(rx, ry, ssx0, ssy0, ssx1, ssy1, sspid, npoly))
+    if _DEBUG is not None:
+        _DEBUG.update(ss=(ssx0, ssy0, ssx1, ssy1, sspid),
+                      seg=(sx0, sy0, sx1, sy1, spid),
+                      left_in=left_in, right_in=right_in)
     keep = left_in != right_in
     # orient interior-on-left
     flip = keep & right_in
@@ -257,40 +363,72 @@ def _close(xs, ys):
 
 def _inside_matrix(px, py, sx0, sy0, sx1, sy1, spid, npoly) -> np.ndarray:
     """Per sample point and per region: even-odd parity membership.
-    Vectorized ray cast (points x segments), parity folded per region
-    id; returns a (n_points, n_regions) bool matrix."""
+    Returns a (n_points, n_regions) bool matrix.
+
+    Sparse evaluation: a +x ray cast can only cross a region's boundary
+    if the point's y lies within the region's y-range and its x is left
+    of the region's xmax — so each region ray-casts only its bbox
+    candidates (O(sum_r |cand_r| * |segs_r|), which for many small
+    disjoint regions is near-linear instead of O(P*S)). The inner
+    points-x-segments product is chunked to bound peak memory."""
     P = len(px)
+    S = len(sx0)
     inside = np.zeros((P, npoly), dtype=bool)
-    x0 = sx0.astype(np.float64)[None, :]
-    y0 = sy0.astype(np.float64)[None, :]
-    x1 = sx1.astype(np.float64)[None, :]
-    y1 = sy1.astype(np.float64)[None, :]
-    pxc = px[:, None]
-    pyc = py[:, None]
-    crosses = (y0 > pyc) != (y1 > pyc)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (pyc - y0) / (y1 - y0)
-        xint = x0 + t * (x1 - x0)
-    hit = crosses & (pxc < xint)
+    if P == 0 or S == 0:
+        return inside
+    # spid is nondecreasing by construction (rings appended per region)
+    pids = np.arange(npoly)
+    r_lo = np.searchsorted(spid, pids, side="left")
+    r_hi = np.searchsorted(spid, pids, side="right")
     for pid in range(npoly):
-        cols = spid == pid
-        if cols.any():
-            inside[:, pid] = (hit[:, cols].sum(axis=1) % 2).astype(bool)
+        s, e = int(r_lo[pid]), int(r_hi[pid])
+        if s == e:
+            continue
+        x0 = sx0[s:e].astype(np.float64)
+        y0 = sy0[s:e].astype(np.float64)
+        x1 = sx1[s:e].astype(np.float64)
+        y1 = sy1[s:e].astype(np.float64)
+        rymin = min(y0.min(), y1.min())
+        rymax = max(y0.max(), y1.max())
+        rxmax = max(x0.max(), x1.max())
+        cand = np.nonzero((py >= rymin) & (py <= rymax) & (px <= rxmax))[0]
+        if not len(cand):
+            continue
+        ns = e - s
+        block = max(1, _PARITY_CHUNK // ns)
+        for lo in range(0, len(cand), block):
+            ci = cand[lo:lo + block]
+            pxc = px[ci, None]
+            pyc = py[ci, None]
+            crosses = (y0[None, :] > pyc) != (y1[None, :] > pyc)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (pyc - y0[None, :]) / (y1[None, :] - y0[None, :])
+                xint = x0[None, :] + t * (x1[None, :] - x0[None, :])
+            hit = crosses & (pxc < xint)
+            inside[ci, pid] = (hit.sum(axis=1) % 2).astype(bool)
     return inside
 
 
 def _stitch(segs):
     """Chain directed segments into closed rings; at multi-way vertices
     take the leftmost (most counter-clockwise) continuation so touching
-    rings separate deterministically."""
+    rings separate deterministically.
+
+    A chain that fails to close releases its consumed segments back to
+    the pool (so a locally-unbalanced start can't silently eat another
+    ring's segments — ADVICE round 2) and the walk retries from later
+    starts; chains that still never close are counted in
+    STITCH_OPEN_DROPS for observability."""
+    global STITCH_OPEN_DROPS
     from collections import defaultdict
     by_start = defaultdict(list)
     for si, (a, b, c, d) in enumerate(segs):
         by_start[(a, b)].append(si)
     used = [False] * len(segs)
     rings = []
+    open_starts = set()
     for start_i in range(len(segs)):
-        if used[start_i]:
+        if used[start_i] or start_i in open_starts:
             continue
         chain = [start_i]
         used[start_i] = True
@@ -326,4 +464,12 @@ def _stitch(segs):
             cur = (cc, dd)
         if closed and len(ring) >= 3:
             rings.append(ring)
+        else:
+            # release the whole chain; never re-START from this segment
+            # (it provably dead-ends) but leave it available as a
+            # continuation for other chains
+            for si in chain:
+                used[si] = False
+            open_starts.add(start_i)
+    STITCH_OPEN_DROPS += sum(1 for si in open_starts if not used[si])
     return rings

@@ -30,12 +30,32 @@ def with_media_payload(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
 
 
+try:  # optional codec dependency — absent in this container
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:
+    _PILImage = None
+
+HAVE_CODECS = _PILImage is not None
+
+
 def decode_real(payload: bytes):
-    """Real decoder entry point — requires an image/audio codec library
-    that is NOT in this container. Kept as the extension seam."""
-    raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg-class libraries; "
-        "use extract_media_features (deterministic fake) in this environment")
+    """Real image decode seam: uses Pillow when available (returns
+    (kind, width, height, n_frames, checksum) like _fake_meta), raises
+    NotImplementedError otherwise so callers can fall back to the
+    deterministic fake path."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "media decoding requires PIL/ffmpeg-class libraries; "
+            "use extract_media_features (deterministic fake) in this environment")
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        width, height = im.size
+        n_frames = int(getattr(im, "n_frames", 1))
+        checksum = 0
+        for b in payload[:16]:
+            checksum = (checksum * 131 + b) % 1000000007
+        return "image", int(width), int(height), n_frames, checksum
 
 
 def _fake_meta(buf: bytes):
