@@ -66,44 +66,59 @@ def run_level(cpus: int, mult: int, jobs: str = "all") -> None:
     from tilemaker_spark import pipeline, spatial, textops, classify, geocode
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "1")))
     spark = get_spark(app_name=f"scaling[{cpus}]", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs = base
-    for i in range(1, mult):
-        docs = docs.unionByName(
-            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000)))
+    # single-scan replication: explode a replica index instead of a
+    # mult-way union (a 64-branch union plan costs seconds of
+    # driver-side analysis per action — serial, input-proportional,
+    # and purely a bench-harness artifact)
+    docs = (base
+            .select("*", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_rep"))
+            .select((F.col("doc_id") + F.col("_rep") * 10_000_000).alias("doc_id"),
+                    *[c for c in base.columns if c != "doc_id"]))
     docs = docs.repartition(cpus * 2).cache()
     n_docs = docs.count()
 
-    res = {"cpus": cpus, "mult": mult, "docs": n_docs}
+    res = {"cpus": cpus, "mult": mult, "docs": n_docs, "reps": n_reps}
     want = set(jobs.split(",")) if jobs != "all" else {"pyramid", "minhash", "spjoin"}
 
+    def reps(fn):
+        """min-of-N within ONE session: reps 2+ run with warm codegen
+        caches and a live Python worker pool — the per-executor
+        amortized steady state a long-running cluster job sits in."""
+        vals = []
+        for _ in range(n_reps):
+            t0 = time.time()
+            out = fn()
+            vals.append(round(time.time() - t0, 2))
+        return min(vals), vals, out
+
     if "pyramid" in want:
-        t0 = time.time()
-        tiles = pipeline.pyramid_df(spark, docs)
-        agg = tiles.selectExpr("count(*) n", "sum(feature_count) f").collect()[0]
-        res["pyramid_sec"] = round(time.time() - t0, 2)
+        def _pyr():
+            tiles = pipeline.pyramid_df(spark, docs)
+            return tiles.selectExpr("count(*) n", "sum(feature_count) f").collect()[0]
+        res["pyramid_sec"], res["pyramid_reps"], agg = reps(_pyr)
         res["tiles"] = int(agg["n"])
         res["encoded_features"] = int(agg["f"])
         res["tiles_per_sec"] = round(agg["n"] / res["pyramid_sec"], 2)
 
     if "minhash" in want:
-        t0 = time.time()
-        n_pairs = textops.minhash_lsh_pairs(docs).count()
-        res["minhash_sec"] = round(time.time() - t0, 2)
+        res["minhash_sec"], res["minhash_reps"], n_pairs = reps(
+            lambda: textops.minhash_lsh_pairs(docs).count())
         res["minhash_pairs"] = n_pairs
 
     if "spjoin" in want:
-        t0 = time.time()
-        nodes, _, _ = geocode.geocode(docs)
-        pts = classify.classify_nodes(nodes)
-        n_join = spatial.point_in_polygon_join(pts, spatial.district_table(spark)).count()
-        queries = pts.where(F.col("layer") == "poi").select("object_id", "lon", "latp")
-        places = pts.where(F.col("layer") == "place").select(
-            F.col("object_id").alias("place_id"), "lon", "latp")
-        n_knn = spatial.knn_join(queries, places).count()
-        res["spjoin_sec"] = round(time.time() - t0, 2)
+        def _spj():
+            nodes, _, _ = geocode.geocode(docs)
+            pts = classify.classify_nodes(nodes)
+            n_join = spatial.point_in_polygon_join(pts, spatial.district_table(spark)).count()
+            queries = pts.where(F.col("layer") == "poi").select("object_id", "lon", "latp")
+            places = pts.where(F.col("layer") == "place").select(
+                F.col("object_id").alias("place_id"), "lon", "latp")
+            return n_join, spatial.knn_join(queries, places).count()
+        res["spjoin_sec"], res["spjoin_reps"], (n_join, n_knn) = reps(_spj)
         res["join_rows"] = n_join
         res["knn_rows"] = n_knn
         res["join_rows_per_sec"] = round((n_join + n_knn) / res["spjoin_sec"], 1)
@@ -122,7 +137,7 @@ def main() -> None:
     for cpus in (N_SMALL, N_BIG):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "run", str(cpus), str(mult)],
-            capture_output=True, text=True, timeout=3600)
+            capture_output=True, text=True, timeout=7200)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
         print(line, flush=True)

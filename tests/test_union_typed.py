@@ -351,6 +351,161 @@ def test_combine_unions_same_attr_polygons(spark):
     assert bytes(again[0]["tile"]) == bytes(combined[0]["tile"])
 
 
+def test_combine_config_parity(spark):
+    """`combine` is settable from settings JSON and defaults ON like the
+    reference CLI (src/tilemaker.cpp:79); the combine golden reproduces
+    byte-identically when driven via a JSON config instead of the
+    Python flag."""
+    import json
+
+    from tilemaker_spark.config import DEFAULT_CONFIG_JSON, Config
+
+    # absent -> reference default (on); explicit false -> off
+    raw = json.loads(DEFAULT_CONFIG_JSON)
+    assert Config.from_json(DEFAULT_CONFIG_JSON).combine_similar is False
+    del raw["settings"]["combine"]
+    assert Config.from_json(json.dumps(raw)).combine_similar is True
+    raw["settings"]["combine"] = False
+    assert Config.from_json(json.dumps(raw)).combine_similar is False
+
+    # combine golden via JSON config == via the Python flag
+    x, y = _tile_xy()
+    bb = M.TileBbox(x, y, TILE_Z)
+    cx = int((bb.min_lon + bb.max_lon) / 2 * 1e7)
+    cy = int((bb.min_latp + bb.max_latp) / 2 * 1e7)
+    r = 8000
+    g1 = _octagon_geom(cx, cy, r)
+    g2 = _octagon_geom(cx + r, cy, r)
+    rows = [
+        (TILE_Z, x, y, 1, "way", "building", 3, {}, {}, {}, False, bytearray(g1), None, None),
+        (TILE_Z, x, y, 2, "way", "building", 3, {}, {}, {}, False, bytearray(g2), None, None),
+    ]
+    raw = json.loads(DEFAULT_CONFIG_JSON)
+    raw["settings"]["combine"] = True
+    raw["settings"]["compress"] = False
+    cfg_json = Config.from_json(json.dumps(raw))
+    assert cfg_json.combine_similar is True
+    via_json = encode_zoom(_assigned_df(spark, rows), cfg_json).collect()
+
+    cfg_flag = default_config()
+    cfg_flag.compress = False
+    cfg_flag.combine_similar = True
+    via_flag = encode_zoom(_assigned_df(spark, rows), cfg_flag).collect()
+    assert via_json[0]["feature_count"] == 1
+    assert bytes(via_json[0]["tile"]) == bytes(via_flag[0]["tile"])
+
+
+def decode_line_paths(cmds):
+    """Command stream -> list of pixel paths (MoveTo/LineTo only)."""
+    paths = []
+    cur = []
+    x = y = 0
+    i = 0
+
+    def unzig(v):
+        return (v >> 1) ^ -(v & 1)
+
+    while i < len(cmds):
+        cmd = cmds[i]
+        op, count = cmd & 7, cmd >> 3
+        i += 1
+        if op == 1:
+            if len(cur) >= 2:
+                paths.append(cur)
+            for _ in range(count):
+                x += unzig(cmds[i]); y += unzig(cmds[i + 1]); i += 2
+                cur = [(x, y)]
+        elif op == 2:
+            for _ in range(count):
+                x += unzig(cmds[i]); y += unzig(cmds[i + 1]); i += 2
+                cur.append((x, y))
+    if len(cur) >= 2:
+        paths.append(cur)
+    return paths
+
+
+def _line_geom(x0, y0, x1, y1):
+    return geompack.pack_line([(np.array([x0, x1], dtype=np.int64),
+                                np.array([y0, y1], dtype=np.int64))])
+
+
+def test_combine_unions_overlapping_lines(spark):
+    """--combine line arm: two collinear overlapping same-attribute
+    linestrings union geometrically (geom::union_,
+    src/tile_worker.cpp:66-99) — the overlap is emitted ONCE, so the
+    total drawn length equals the merged extent, not the sum."""
+    x, y = _tile_xy()
+    bb = M.TileBbox(x, y, TILE_Z)
+    cx = int((bb.min_lon + bb.max_lon) / 2 * 1e7)
+    cy = int((bb.min_latp + bb.max_latp) / 2 * 1e7)
+    r = 8000
+    g1 = _line_geom(cx - r, cy, cx + r, cy)            # [-r, +r]
+    g2 = _line_geom(cx, cy, cx + 2 * r, cy)            # [0, +2r] overlaps [0, r]
+    rows = [
+        (TILE_Z, x, y, 1, "way", "transportation", 2, {"class": "primary"},
+         {}, {}, False, bytearray(g1), None, None),
+        (TILE_Z, x, y, 2, "way", "transportation", 2, {"class": "primary"},
+         {}, {}, False, bytearray(g2), None, None),
+    ]
+    cfg = default_config()
+    cfg.compress = False
+    cfg.combine_similar = True
+    tiles = encode_zoom(_assigned_df(spark, rows), cfg).collect()
+    assert len(tiles) == 1 and tiles[0]["feature_count"] == 1
+    (layer,) = parse_tile(bytes(tiles[0]["tile"]))
+    (gt, cmds, _tags), = layer["features"]
+    assert gt == 2
+    paths = decode_line_paths(cmds)
+    # hand-computed union: part 1 whole + part 2's uncovered [r, 2r]
+    total_len = sum(abs(p[-1][0] - p[0][0]) for p in paths)
+    xs_all = [px for p in paths for px, _ in p]
+    extent = max(xs_all) - min(xs_all)
+    exp_extent = (3 * r / 1e7) / bb.xscale
+    assert abs(extent - exp_extent) <= 2.0
+    assert total_len == extent            # overlap drawn exactly once
+    # same rows WITHOUT combine: drawn length is extent + overlap (r)
+    cfg2 = default_config()
+    cfg2.compress = False
+    plain = encode_zoom(_assigned_df(spark, rows), cfg2).collect()
+    (pl_layer,) = parse_tile(bytes(plain[0]["tile"]))
+    plen = 0
+    for _gt, pcmds, _t in pl_layer["features"]:
+        plen += sum(abs(p[-1][0] - p[0][0]) for p in decode_line_paths(pcmds))
+    assert abs(plen - (extent + (r / 1e7) / bb.xscale)) <= 3.0
+
+
+def test_lineunion_kernel_exact():
+    """Exact integer interval union over collinear supports."""
+    from tilemaker_spark.kernels.lineunion import union_line_parts
+
+    A = (np.array([0, 10]), np.array([0, 0]))
+    # exact duplicate (either orientation) vanishes
+    assert len(union_line_parts([A, A])) == 1
+    assert len(union_line_parts([A, (np.array([10, 0]), np.array([0, 0]))])) == 1
+    # partial overlap keeps only the new extent
+    r = union_line_parts([A, (np.array([5, 15]), np.array([0, 0]))])
+    assert [(x.tolist(), y.tolist()) for x, y in r] == \
+        [([0, 10], [0, 0]), ([10, 15], [0, 0])]
+    # crossing non-collinear lines both survive whole
+    r = union_line_parts([A, (np.array([5, 5]), np.array([-5, 5]))])
+    assert len(r) == 2 and r[1][0].tolist() == [5, 5]
+    # contained segment vanishes; covering segment splits around it
+    r = union_line_parts([A, (np.array([2, 6]), np.array([0, 0]))])
+    assert len(r) == 1
+    r = union_line_parts([A, (np.array([-5, 20]), np.array([0, 0]))])
+    assert [(x.tolist(), y.tolist()) for x, y in r] == \
+        [([0, 10], [0, 0]), ([-5, 0], [0, 0]), ([10, 20], [0, 0])]
+    # diagonal with non-trivial gcd reduction stays lattice-exact
+    r = union_line_parts([(np.array([0, 6]), np.array([0, 9])),
+                          (np.array([2, 10]), np.array([3, 15]))])
+    assert [(x.tolist(), y.tolist()) for x, y in r] == \
+        [([0, 6], [0, 9]), ([6, 10], [9, 15])]
+    # multi-vertex untouched part round-trips exactly (order + values)
+    D = (np.array([0, 3, 3, 9]), np.array([0, 0, 4, 4]))
+    r = union_line_parts([D])
+    assert len(r) == 1 and r[0][0].tolist() == [0, 3, 3, 9]
+
+
 def test_typed_attr_wire_arms(spark):
     """AttributeNumeric -> float_value, AttributeBoolean -> bool_value on
     the wire (include/vector_tile.proto:16-27)."""

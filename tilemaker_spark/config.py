@@ -59,7 +59,9 @@ class Config:
     compress: bool = True
     gzip: bool = True
     include_ids: bool = False
-    combine_similar: bool = False   # reference --combine (src/tilemaker.cpp:79)
+    combine_similar: bool = False   # reference --combine (src/tilemaker.cpp:79);
+    # NOTE: from_json defaults this to TRUE (reference parity) — the bare
+    # dataclass default stays False only for direct-constructed test configs
     mvt_version: int = 2
     bounding_box: list | None = None  # [minlon, minlat, maxlon, maxlat] (F7)
     name: str = "tilemaker_spark"
@@ -75,6 +77,11 @@ class Config:
         cfg.maxzoom = int(settings.get("maxzoom", cfg.basezoom))
         cfg.compress = bool(settings.get("compress", True))
         cfg.include_ids = bool(settings.get("include_ids", False))
+        # reference --combine defaults ON (src/tilemaker.cpp:79); a JSON
+        # config that says nothing gets the reference behavior, and
+        # "combine": false opts out (our DEFAULT_CONFIG_JSON does, to keep
+        # the cheap concat path on the synthetic bench corpus)
+        cfg.combine_similar = bool(settings.get("combine", True))
         cfg.name = settings.get("name", cfg.name)
         if "bounding_box" in settings:
             cfg.bounding_box = list(settings["bounding_box"])
@@ -121,7 +128,7 @@ DEFAULT_CONFIG_JSON = """
   },
   "settings": {
     "basezoom": 14, "minzoom": 0, "maxzoom": 14,
-    "compress": true, "include_ids": false,
+    "compress": true, "include_ids": false, "combine": false,
     "name": "tilemaker_spark"
   }
 }

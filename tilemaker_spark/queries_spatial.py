@@ -44,12 +44,34 @@ def q_classify_intersects(spark, sf_dir):
         F.element_at("attrs_num", "district_id").alias("district_id"))
 
 
+def q_classify_intersects_ways(spark, sf_dir):
+    """F5 x J4 WAY arm: Intersects()-during-classify for way features —
+    the query location is the way's first/last node (reference:
+    src/osm_lua_processing.cpp:400-401, refine src/shp_mem_tiles.cpp:49-57)."""
+    from pyspark.sql import functions as F
+
+    from . import assemble, classify, geocode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nodes, ways, _ = geocode.geocode(docs)
+    way_feats = classify.classify_ways(ways)
+    way_coords = assemble.ways_with_coords(ways, nodes)
+    qpts = spatial.way_query_points(way_feats, way_coords)
+    feats = spatial.with_district_attrs(
+        way_feats, spatial.district_table(spark), query_points=qpts)
+    return feats.select(
+        "object_id", "layer",
+        F.element_at("attrs", "district").alias("district"),
+        F.element_at("attrs_num", "district_id").alias("district_id"))
+
+
 QUERIES = {
     "spatial_join_pip": q_spatial_join_pip,
     "knn_places": q_knn_places,
     "rasterize_z12": q_rasterize_z12,
     "vectorize_cells": q_vectorize_cells,
     "classify_intersects": q_classify_intersects,
+    "classify_intersects_ways": q_classify_intersects_ways,
 }
 
 
@@ -134,5 +156,26 @@ SELECT f.object_id, f.layer,
   'd' || h.did AS district,
   CAST(h.did AS DOUBLE) AS district_id
 FROM node_feats f LEFT JOIN hits h USING (object_id, layer)
+""",
+    "classify_intersects_ways": GEOCODE_CTE + _DISTRICT_CTE + f"""
+, wends AS (
+  SELECT f.object_id, f.layer,
+         CAST(p.lons[1] AS BIGINT) AS lon, CAST(p.latps[1] AS BIGINT) AS latp
+  FROM way_feats f JOIN way_pts p ON f.object_id = p.way_id
+  UNION ALL
+  SELECT f.object_id, f.layer,
+         CAST(p.lons[-1] AS BIGINT), CAST(p.latps[-1] AS BIGINT)
+  FROM way_feats f JOIN way_pts p ON f.object_id = p.way_id
+),
+whits AS (
+  SELECT w.object_id, w.layer, min(d.district_id) AS did
+  FROM wends w JOIN districts d
+    ON abs(w.lon - d.cx) + abs(w.latp - d.cy) < {spatial.DIST_R}
+  GROUP BY 1, 2
+)
+SELECT f.object_id, f.layer,
+  'd' || h.did AS district,
+  CAST(h.did AS DOUBLE) AS district_id
+FROM way_feats f LEFT JOIN whits h USING (object_id, layer)
 """,
 }

@@ -226,10 +226,33 @@ def poi_district_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_polygon_join(_points(spark, sf_dir), district_table(spark))
 
 
+def way_query_points(way_feats: DataFrame, way_coords: DataFrame) -> DataFrame:
+    """Spatial-query locations for WAY features (F5 x J4 way arm).
+
+    The reference sets (lon1, latp1)/(lon2, latp2) from the way's FIRST
+    and LAST nodes (src/osm_lua_processing.cpp:400-401) and refines
+    Intersects()/FindIntersecting() by testing exactly those two points
+    against each candidate reference geometry
+    (src/shp_mem_tiles.cpp:49-57) — so way-Intersects == "polygon
+    contains first node OR last node". Emits up to two (object_id,
+    layer, lon, latp) query rows per way feature, ready for the same
+    broadcast cell-join the node path uses."""
+    ends = way_coords.select(
+        F.col("way_id").alias("object_id"),
+        F.explode(F.array(
+            F.struct(F.element_at("lons", 1).alias("lon"),
+                     F.element_at("latps", 1).alias("latp")),
+            F.struct(F.element_at("lons", -1).alias("lon"),
+                     F.element_at("latps", -1).alias("latp")))).alias("p"),
+    ).select("object_id", "p.lon", "p.latp")
+    return way_feats.select("object_id", "layer").join(ends, "object_id")
+
+
 def with_district_attrs(features: DataFrame, districts: DataFrame,
                         str_attrs: dict | None = None,
                         num_attrs: dict | None = None,
-                        bool_attrs: dict | None = None) -> DataFrame:
+                        bool_attrs: dict | None = None,
+                        query_points: DataFrame | None = None) -> DataFrame:
     """F5 x J4: Intersects()/FindIntersecting() DURING classification
     (reference: Lua way/node functions query the shapefile layer
     mid-classify, src/osm_lua_processing.cpp:112-130,
@@ -245,13 +268,20 @@ def with_district_attrs(features: DataFrame, districts: DataFrame,
     dicts of attr name -> Column over the matched reference-layer row's
     SOURCE COLUMNS (district_id, cx, cy, ...), typed like the
     reference's string/double/bool Tile_Value arms. Defaults emit
-    'district' (string) and 'district_id' (numeric)."""
+    'district' (string) and 'district_id' (numeric).
+
+    ``query_points`` overrides the spatial-query locations: a DataFrame
+    of (object_id, layer, lon, latp) rows, possibly several per
+    feature — pass ``way_query_points(...)`` for way features (whose
+    lon/latp columns are null; the reference queries their first/last
+    node instead). Defaults to ``features`` itself (node semantics)."""
     if str_attrs is None:
         str_attrs = {"district": F.concat(F.lit("d"), F.col("district_id").cast("string"))}
     if num_attrs is None:
         num_attrs = {"district_id": F.col("district_id").cast("double")}
     bool_attrs = bool_attrs or {}
-    hits = (point_in_polygon_join(features, districts)
+    pts = query_points if query_points is not None else features
+    hits = (point_in_polygon_join(pts, districts)
             .groupBy("object_id", "layer")
             .agg(F.min("district_id").alias("_did")))   # deterministic pick
     # attach the reference layer's source columns for the remap exprs
