@@ -76,7 +76,8 @@ def run_level(cpus: int, mult: int, jobs: str = "all") -> None:
     # and purely a bench-harness artifact)
     docs = (base
             .select("*", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_rep"))
-            .select((F.col("doc_id") + F.col("_rep") * 10_000_000).alias("doc_id"),
+            .select((F.col("doc_id").cast("long")
+                     + F.col("_rep").cast("long") * 10_000_000).alias("doc_id"),
                     *[c for c in base.columns if c != "doc_id"]))
     docs = docs.repartition(cpus * 2).cache()
     n_docs = docs.count()
