@@ -488,8 +488,11 @@ def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
                        & (F.col("z") <= F.element_at(maxz, F.col("layer"))))
                 .withColumn("_ak", ak)
                 .withColumn("_out_layer", F.element_at(out_layer, F.col("layer"))))
+    from .session import python_stage_partitions
+
+    n_parts = python_stage_partitions(assigned.sparkSession)
     part = (eligible
-            .repartition(F.col("z"), F.col("x"), F.col("y"), F.col("_out_layer"))
+            .repartition(n_parts, F.col("z"), F.col("x"), F.col("y"), F.col("_out_layer"))
             .sortWithinPartitions(*_SORT_COLS))
     layer_groups = part.mapInPandas(make_stream_encoder(cfg),
                                     schema=LAYER_GROUP_SCHEMA)

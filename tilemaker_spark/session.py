@@ -39,3 +39,27 @@ def get_spark(app_name: str = "tilemaker_spark", cpus: int | None = None,
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def python_stage_partitions(spark: SparkSession, multiplier: int = 8) -> int:
+    """Partition count for Python-CPU-heavy (mapInPandas) stages.
+
+    AQE's coalescing is BYTE-based and blind to per-row Python CPU cost,
+    so a Python-heavy stage left at `spark.sql.shuffle.partitions`
+    granularity floors the stage wall at its largest task no matter how
+    many cores run it. Measured (scripts/profile_pyramid.py, 8 cores,
+    x64 input, 16 shuffle partitions): the MVT encode stage coalesced to
+    11 tasks with a 48.5 s max task inside a 139 s job — the "fixed
+    cost" of the round-2 scaling fit was really this coarse-partition
+    critical path, which grows with data and shrinks with nothing.
+
+    Explicit fine hash partitioning (cores x multiplier, never below the
+    session's shuffle partitions) bounds max-task at ~1/multiplier of a
+    core's share, so adding executors keeps helping; AQE is deliberately
+    bypassed (explicit numPartitions is not coalesced)."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        base = 200
+    return max(par * multiplier, base)
