@@ -160,3 +160,36 @@ def test_media_decode_real_seam():
         b"AAAABQABXvMqOgAAAABJRU5ErkJggg==")
     kind, w, h, nf, cs = media.decode_real(png)
     assert (kind, w, h, nf) == ("image", 1, 1, 1)
+
+
+def test_stream_group_exchanges_pinned(spark, docs):
+    """Group-carrying repartitions must be REPARTITION_BY_NUM.
+
+    An unpinned repartition(col) feeding repartition+sort+mapInPandas is
+    AQE-rewritable (local shuffle read) because mapInPandas declares no
+    required distribution — measured at x64 scale this split 75% of
+    relation groups into partial half-ring features, making tile bytes
+    parallelism-dependent. Pinned counts are user-specified and AQE
+    never rewrites them.
+    """
+    from tilemaker_spark import geocode, classify, assemble, pipeline
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.encode import encode_zoom
+    from tilemaker_spark import tileassign
+
+    nodes, ways, relations = geocode.geocode(docs)
+    rel_feats = classify.classify_relations(relations)
+    way_coords = assemble.ways_with_coords(ways, nodes)
+    rf = assemble.assemble_relation_geometries(rel_feats, relations, way_coords)
+    plan = rf._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan[:2000]
+    # no relation may assemble as two partial features
+    dups = rf.groupBy("object_id", "layer").count().where("count > 1").count()
+    assert dups == 0
+
+    features = pipeline.build_features(nodes, ways, relations)
+    assigned = tileassign.assign_base_tiles(features, 14)
+    rolled = tileassign.rollup_all_zooms(assigned, [14, 12], 14)
+    tiles = encode_zoom(rolled, default_config())
+    eplan = tiles._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in eplan

@@ -92,8 +92,20 @@ def assemble_relation_geometries(rel_features: DataFrame, relations: DataFrame,
     feat = rel_features.select(
         F.col("object_id").alias("rel_id"), "elem", "layer", "kind",
         "attrs", "attrs_num", "attrs_bool", "as_centroid")
+    # numPartitions MUST be pinned (REPARTITION_BY_NUM): an unpinned
+    # repartition(col) is AQE-optimizable, and since mapInPandas declares
+    # no required distribution, AQE's local shuffle read can hand each
+    # task one MAPPER's slice of the hash partitions — splitting a
+    # rel_id's members across tasks. Measured at x64/32 cores: 14,956 of
+    # 20,004 relations assembled as partial half-rings (then rollup's
+    # dropDuplicates kept an arbitrary half -> parallelism-dependent
+    # tiles). Pinning the count makes the exchange user-specified, which
+    # AQE never rewrites.
+    from .session import python_stage_partitions
+
     grouped = (mem_coords.join(feat, "rel_id")
-               .repartition(F.col("rel_id"))
+               .repartition(python_stage_partitions(rel_features.sparkSession),
+                            F.col("rel_id"))
                .sortWithinPartitions("rel_id", "layer", "m_pos"))
 
     out_cols = ["object_id", "elem", "layer", "kind", "attrs", "attrs_num",

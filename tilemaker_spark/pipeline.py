@@ -136,7 +136,12 @@ def run_pyramid(spark: SparkSession, docs: DataFrame, out_dir: str,
     if not (resume and _stage_done(base_path)):
         assigned = tileassign.assign_base_tiles(features, cfg.basezoom)
         # cluster by tile for locality of every downstream rollup/encode
-        assigned = assigned.repartition(F.col("tile_x"), F.col("tile_y"))
+        # (pinned count: an unpinned repartition(col) may be rewritten by
+        # AQE's local shuffle read, silently dropping the clustering)
+        from .session import python_stage_partitions
+
+        assigned = assigned.repartition(
+            python_stage_partitions(spark), F.col("tile_x"), F.col("tile_y"))
         _write_stage(assigned.select(*BASE_TILE_COLS), base_path)
         _lineage(spark, spark.read.parquet(base_path), "base_tiles", metrics_dir)
     base_assigned = spark.read.parquet(base_path)
