@@ -486,13 +486,20 @@ def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
     eligible = (assigned
                 .where((F.col("z") >= F.element_at(minz, F.col("layer")))
                        & (F.col("z") <= F.element_at(maxz, F.col("layer"))))
-                .withColumn("_ak", ak)
                 .withColumn("_out_layer", F.element_at(out_layer, F.col("layer"))))
     from .session import python_stage_partitions
 
     n_parts = python_stage_partitions(assigned.sparkSession)
+    # `_ak` (array transforms + sort + string joins over the attr maps)
+    # is the most expensive Catalyst expression in the plan. Computing
+    # it AFTER the pinned exchange moves that CPU from the rollup's
+    # reduce stage — whose task count AQE byte-coalesces down to ~cores
+    # (coalescing is blind to per-row CPU) — into the explicitly
+    # fine-partitioned (cores×8) encode stage. It is not a partition
+    # key, only a sort key, so placement above the repartition is free.
     part = (eligible
             .repartition(n_parts, F.col("z"), F.col("x"), F.col("y"), F.col("_out_layer"))
+            .withColumn("_ak", ak)
             .sortWithinPartitions(*_SORT_COLS))
     layer_groups = part.mapInPandas(make_stream_encoder(cfg),
                                     schema=LAYER_GROUP_SCHEMA)
