@@ -33,6 +33,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict = {}
     q.update(queries_core.QUERIES)
     try:
+        from tilemaker_spark import queries_bytes
+        q.update(queries_bytes.QUERIES)
+    except ImportError:
+        pass
+    try:
         from tilemaker_spark import queries_text
         q.update(queries_text.QUERIES)
     except ImportError:
@@ -55,6 +60,11 @@ def oracle_sql() -> dict[str, str]:
 
     o: dict = {}
     o.update(queries_core.ORACLES)
+    try:
+        from tilemaker_spark import queries_bytes
+        o.update(queries_bytes.ORACLES)
+    except ImportError:
+        pass
     try:
         from tilemaker_spark import queries_text
         o.update(queries_text.ORACLES)

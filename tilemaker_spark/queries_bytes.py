@@ -1,0 +1,498 @@
+"""Driver-verified LINESTRING / POLYGON tile BYTES (VERDICT r3 ask #1).
+
+Extends the ``tile_bytes_points`` pattern (queries_core.py) to the
+geometry arms of the MVT command stream: the REAL z14 tile bytes
+produced by the full pipeline (gzip, protobuf framing, per-layer
+dictionaries, MoveTo/LineTo/ClosePath delta/zigzag streams —
+reference: src/write_geometry.cpp:55-130) are re-read by the same
+independent wire parser style and reduced to per-tile invariants:
+
+SQL-exact columns (closed-form DuckDB re-derivation, no engine code):
+- ``n_feats``   line/poly features per tile — re-derives the DDA
+  segment walk (J5, include/coordinates.h:93-133) candidate tiles in
+  SQL exactly (same IEEE op order as the engine; proven technique from
+  the pyramid_tiles oracle).
+- ``n_parts``   MoveTo count = clipped-part count. The oracle
+  re-derives Liang-Barsky part structure (G8, reference
+  src/output_object.cpp:33-37) from first principles: a part starts at
+  each maximal run of consecutive segments intersecting the tile's
+  0.5%-margin clip box (src/coordinates.cpp:80-83). The margin box is
+  an exact rational (x128 fixed-point integers: tile = 28125000/128
+  units, margin = 140625/128), so segment-vs-box intersection is an
+  exact integer separating-axis test.
+- ``n_close``   ClosePath count: 0 for lines; ring count for polygons
+  (1 per clipped outer + 1 per hole that survives as a separate ring,
+  i.e. hole fully inside the clip box — even-odd semantics of G9,
+  src/output_object.cpp:62-68).
+- ``pts_in`` / ``spx_in``  vertex count and absolute pixel-x sum over
+  the tile's full decoded command stream, gated on ``all_in`` (every
+  feature of the tile lies wholly inside the margin box, an exact SQL
+  predicate): for such tiles clipping is the identity, so the wire
+  stream is exactly the raw vertices and px is bit-exact in SQL
+  (tilex2lon is pure ldexp arithmetic, src/coordinates.cpp:27,33,90-94).
+  Mixed tiles report the sentinel -1 on both sides.
+
+Wire-vs-engine column (same epistemic status as points' ``py_ok``):
+- ``geom_ok``   the decoded per-feature command streams (including
+  clipped/interpolated and pixel-y values that SQL cannot replicate)
+  are compared as an order-insensitive multiset of CRCs against an
+  INDEPENDENT re-derivation from RAW feature coordinates (assemble ->
+  assign -> per-(feature, tile) kernel clip+scale+delta, bypassing the
+  streaming encoder, its grouping, dictionaries, framing and gzip).
+  Verifies the distributed encode path end-to-end; the kernels
+  themselves are closed-form pytest-golden-tested.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import classify, geocode, tileassign
+from .queries_core import GEOCODE_CTE, _XF, _YF, load_docs
+
+LINE_LAYERS = ("transportation", "waterway")
+POLY_LAYERS = ("building", "water", "landcover")
+POLY_OUT_LAYERS = ("building", "landcover")  # water write_to -> landcover (W4)
+
+_RESULT_SCHEMA = ("x long, y long, n_feats long, n_parts long, n_close long, "
+                  "n_pts long, sum_px long, hsum long, hxor long")
+
+
+# ------------------------------------------------------------- wire parser
+# From-scratch MVT wire parser (spec-only, independent of kernels/mvt —
+# same contract as queries_core.q_tile_bytes_points).
+
+def _rdv(b, i):
+    r = 0
+    s = 0
+    while True:
+        c = b[i]
+        i += 1
+        r |= (c & 0x7F) << s
+        if not (c & 0x80):
+            return r, i
+        s += 7
+
+
+def _fields(b):
+    i, n = 0, len(b)
+    while i < n:
+        k, i = _rdv(b, i)
+        fn, wt = k >> 3, k & 7
+        if wt == 0:
+            v, i = _rdv(b, i)
+        elif wt == 2:
+            ln, i = _rdv(b, i)
+            v = b[i:i + ln]
+            i += ln
+        elif wt == 5:
+            v = b[i:i + 4]
+            i += 4
+        else:
+            v = b[i:i + 8]
+            i += 8
+        yield fn, wt, v
+
+
+def _parse_feature_geom(geom):
+    """Walk a decoded command-int list -> (n_move, n_lineto, n_close,
+    n_pts, sum_px). Absolute pixel x reconstructed from zigzag deltas
+    (reference: src/write_geometry.cpp:93-130)."""
+    cx = cy = 0
+    n_move = n_lineto = n_close = n_pts = spx = 0
+    gi, n = 0, len(geom)
+    while gi < n:
+        cmd = geom[gi]
+        gi += 1
+        op = cmd & 7
+        cnt = cmd >> 3
+        if op == 7:
+            n_close += cnt
+            continue
+        for _ in range(cnt):
+            dx, dy = geom[gi], geom[gi + 1]
+            gi += 2
+            cx += (dx >> 1) ^ -(dx & 1)
+            cy += (dy >> 1) ^ -(dy & 1)
+            n_pts += 1
+            spx += cx
+        if op == 1:
+            n_move += cnt
+        elif op == 2:
+            n_lineto += cnt
+    return n_move, n_lineto, n_close, n_pts, spx
+
+
+def _wire_decoder(layer_names, want_gt: int):
+    """mapInPandas over (x, y, tile bytes) -> per-tile wire invariants
+    over features of ``layer_names`` (gzip -> frame -> layer -> feature
+    -> command stream, all re-read from the spec)."""
+    import gzip
+
+    names = set(layer_names)
+
+    def decode_stream(batches):
+        for pdf in batches:
+            rows = []
+            for x, y, buf in zip(pdf["x"], pdf["y"], pdf["tile"]):
+                b = bytes(buf)
+                if b[:2] == b"\x1f\x8b":
+                    b = gzip.decompress(b)
+                nf = npart = nclose = npts = spx = hsum = hxor = 0
+                for fn, _wt, layer in _fields(b):
+                    if fn != 3:
+                        continue
+                    name = None
+                    fbufs = []
+                    for lf, _lwt, lv in _fields(layer):
+                        if lf == 1:
+                            name = lv.decode()
+                        elif lf == 2:
+                            fbufs.append(lv)
+                    if name not in names:
+                        continue
+                    for fb in fbufs:
+                        gtype = None
+                        geom: list = []
+                        for ff, _fwt, fv in _fields(fb):
+                            if ff == 3:
+                                gtype = fv
+                            elif ff == 4:
+                                i = 0
+                                while i < len(fv):
+                                    g, i = _rdv(fv, i)
+                                    geom.append(g)
+                        nm, _nl, nc, np_, sp = _parse_feature_geom(geom)
+                        crc = zlib.crc32(
+                            bytes([gtype if gtype is not None else 0])
+                            + np.asarray(geom, dtype=np.int64).tobytes())
+                        nf += 1
+                        npart += nm
+                        nclose += nc
+                        npts += np_
+                        spx += sp
+                        hsum += crc
+                        hxor ^= crc
+                if nf:
+                    rows.append({"x": int(x), "y": int(y), "n_feats": nf,
+                                 "n_parts": npart, "n_close": nclose,
+                                 "n_pts": npts, "sum_px": spx,
+                                 "hsum": hsum, "hxor": hxor})
+            yield pd.DataFrame(rows, columns=["x", "y", "n_feats", "n_parts",
+                                              "n_close", "n_pts", "sum_px",
+                                              "hsum", "hxor"])
+
+    return decode_stream
+
+
+# --------------------------------------------- independent expected stream
+
+def _expected_stats(assigned: DataFrame, gt: int) -> DataFrame:
+    """Per-(feature, z14-tile) expected command-stream CRC + wholly-in
+    flag, re-derived from RAW packed coords through the clip/scale/delta
+    kernels (NOT the streaming encoder)."""
+    from . import encode as E
+    from .kernels import geompack, mercator as M
+
+    def gen(batches):
+        bb_cache: dict = {}
+        for pdf in batches:
+            rows = []
+            for tx, ty, buf in zip(pdf["tile_x"], pdf["tile_y"], pdf["geom"]):
+                key = (int(tx), int(ty))
+                bb = bb_cache.get(key)
+                if bb is None:
+                    bb = M.TileBbox(key[0], key[1], 14)
+                    bb_cache[key] = bb
+                box = bb.clip_box
+                _gk, payload = geompack.unpack(bytes(buf))
+                if gt == 2:
+                    cmds = E._line_to_cmds(payload, box, bb, 0.0)
+                    rings = payload
+                else:
+                    cmds = E._polys_to_cmds(E._clip_polygon(payload, box), bb, 0.0)
+                    rings = [r for poly in payload for r in poly]
+                if cmds is None:
+                    continue
+                whole = True
+                bxmin, bymin, bxmax, bymax = box
+                for lo, la in rings:
+                    xs = np.asarray(lo, dtype=np.float64) / 1e7
+                    ys = np.asarray(la, dtype=np.float64) / 1e7
+                    if not ((xs >= bxmin).all() and (xs <= bxmax).all()
+                            and (ys >= bymin).all() and (ys <= bymax).all()):
+                        whole = False
+                        break
+                crc = zlib.crc32(bytes([gt]) + cmds.tobytes())
+                rows.append({"x": key[0], "y": key[1], "crc": crc,
+                             "whole": whole})
+            yield pd.DataFrame(rows, columns=["x", "y", "crc", "whole"])
+
+    return assigned.select("tile_x", "tile_y", "geom").mapInPandas(
+        gen, schema="x long, y long, crc long, whole boolean")
+
+
+def _tile_bytes_query(spark: SparkSession, sf_dir: str, layers: tuple,
+                      out_layers: tuple, gt: int) -> DataFrame:
+    from . import pipeline
+
+    docs = load_docs(spark, sf_dir)
+    tiles = pipeline.pyramid_df(spark, docs, zooms=[14])
+    wire = (tiles.where(F.col("z") == 14).select("x", "y", "tile")
+            .mapInPandas(_wire_decoder(out_layers, gt), schema=_RESULT_SCHEMA))
+
+    nodes, ways, rels = geocode.geocode(docs)
+    feats = pipeline.build_features(nodes, ways, rels) \
+        .where(F.col("layer").isin(*layers))
+    assigned = tileassign.assign_base_tiles(feats, 14)
+    exp = (_expected_stats(assigned, gt)
+           .groupBy("x", "y")
+           .agg(F.count(F.lit(1)).alias("n_em"),
+                F.sum("crc").alias("e_hsum"),
+                F.expr("bit_xor(crc)").alias("e_hxor"),
+                F.expr("bool_and(whole)").alias("all_in")))
+
+    j = wire.join(exp, ["x", "y"], "full")
+    geom_ok = F.coalesce(
+        (F.col("n_feats") == F.col("n_em"))
+        & (F.col("hsum") == F.col("e_hsum"))
+        & (F.col("hxor") == F.col("e_hxor")), F.lit(False))
+    gate = F.coalesce(F.col("all_in"), F.lit(False))
+    return j.select(
+        "x", "y", "n_feats", "n_parts", "n_close",
+        F.when(gate, F.col("n_pts")).otherwise(F.lit(-1)).alias("pts_in"),
+        F.when(gate, F.col("sum_px")).otherwise(F.lit(-1)).alias("spx_in"),
+        geom_ok.alias("geom_ok"))
+
+
+def q_tile_bytes_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16 LINESTRING arm + G8 clip structure, driver-visible."""
+    return _tile_bytes_query(spark, sf_dir, LINE_LAYERS, LINE_LAYERS, 2)
+
+
+def q_tile_bytes_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16 POLYGON arm + G9 even-odd clip ring structure, driver-visible."""
+    return _tile_bytes_query(spark, sf_dir, POLY_LAYERS, POLY_OUT_LAYERS, 3)
+
+
+QUERIES = {
+    "tile_bytes_lines": q_tile_bytes_lines,
+    "tile_bytes_polys": q_tile_bytes_polys,
+}
+
+
+# ------------------------------------------------------------- oracle SQL
+# Margin clip box as exact x128 fixed-point integers:
+#   tile size  = 360e7/2^14 fixed units = 28125000/128
+#   margin     = tile/200               =   140625/128  (0.5% each side)
+#   180 deg    = 1.8e9 fixed units      = 230400000000/128
+_BX1 = "(xx*28125000 - 230400000000 - 140625)"
+_BX2 = "((xx+1)*28125000 - 230400000000 + 140625)"
+_BY1 = "(230400000000 - (yy+1)*28125000 - 140625)"
+_BY2 = "(230400000000 - yy*28125000 + 140625)"
+
+# engine pixel-x formula, bit-exact (see tile_bytes_points oracle)
+_PX = """CAST(trunc(
+  (CAST({lon} AS DOUBLE)/10000000.0 - ((CAST({x} AS DOUBLE)/16384.0)*360.0 - 180.0))
+  / (((((CAST({x} AS DOUBLE)+1.0)/16384.0)*360.0 - 180.0)
+      - ((CAST({x} AS DOUBLE)/16384.0)*360.0 - 180.0)) / 4096.0)
+) AS BIGINT)"""
+
+
+def _dda_cand(src: str) -> str:
+    """Candidate-tile CTE chain re-deriving the engine's segment walk
+    (J5) with identical IEEE op order — the proven pyramid_tiles
+    technique. ``src`` must provide (fid, i, al, ap, bl, bp)."""
+    return f"""
+segf AS (
+  SELECT fid, i, al, ap, bl, bp,
+    {_XF.format(v='al')} AS xf1, {_YF.format(v='ap')} AS yf1,
+    {_XF.format(v='bl')} AS xf2, {_YF.format(v='bp')} AS yf2
+  FROM {src}
+),
+segt AS (
+  SELECT *, CAST(trunc(xf1) AS BIGINT) AS x1, CAST(trunc(yf1) AS BIGINT) AS y1,
+            CAST(trunc(xf2) AS BIGINT) AS x2, CAST(trunc(yf2) AS BIGINT) AS y2
+  FROM segf
+),
+cand AS (
+  SELECT fid, x1 AS x, y1 AS y FROM segt
+  UNION ALL SELECT fid, x2, y2 FROM segt
+  UNION ALL
+  SELECT fid, greatest(x1, x2),
+    CAST(trunc(yf1 + (CAST(greatest(x1, x2) AS DOUBLE) - xf1) * ((yf2 - yf1) / (xf2 - xf1))) AS BIGINT)
+  FROM segt WHERE x1 <> x2
+  UNION ALL
+  SELECT fid,
+    CAST(trunc(xf1 + (CAST(greatest(y1, y2) AS DOUBLE) - yf1) * ((xf2 - xf1) / (yf2 - yf1))) AS BIGINT),
+    greatest(y1, y2)
+  FROM segt WHERE y1 <> y2
+),
+pairs AS (SELECT DISTINCT fid, x, y FROM cand)"""
+
+
+_LINES_SQL = f"""
+, lw AS (
+  SELECT w.way_id AS fid, w.lons, w.latps
+  FROM way_pts w JOIN lines l ON w.way_id = l.wid0
+),
+lsegs AS (
+  SELECT fid, i, lons[i] AS al, latps[i] AS ap,
+         lons[i+1] AS bl, latps[i+1] AS bp
+  FROM (SELECT fid, lons, latps,
+               unnest(range(1, CAST(len(lons) AS INT))) AS i FROM lw)
+),
+{_dda_cand('lsegs')},
+-- Liang-Barsky part structure: exact x128-integer segment-vs-margin-box
+-- separating-axis test; a part starts where a run of intersecting
+-- segments begins (prev missing / not intersecting / exited the box)
+lflag AS (
+  SELECT p.fid, p.x, p.y, s.i,
+    s.al*128 AS ax, s.ap*128 AS ay, s.bl*128 AS bx, s.bp*128 AS by,
+    {_BX1.replace('xx', 'p.x')} AS cx1, {_BX2.replace('xx', 'p.x')} AS cx2,
+    {_BY1.replace('yy', 'p.y')} AS cy1, {_BY2.replace('yy', 'p.y')} AS cy2
+  FROM pairs p JOIN lsegs s USING (fid)
+),
+lint AS (
+  SELECT fid, x, y, i,
+    ( NOT ((ax < cx1 AND bx < cx1) OR (ax > cx2 AND bx > cx2)
+        OR (ay < cy1 AND by < cy1) OR (ay > cy2 AND by > cy2))
+      AND least(d1, d2, d3, d4) <= 0 AND greatest(d1, d2, d3, d4) >= 0
+    ) AS isect,
+    (bx BETWEEN cx1 AND cx2 AND by BETWEEN cy1 AND cy2) AS b_in
+  FROM (
+    SELECT *,
+      (bx-ax)*(cy1-ay) - (by-ay)*(cx1-ax) AS d1,
+      (bx-ax)*(cy2-ay) - (by-ay)*(cx1-ax) AS d2,
+      (bx-ax)*(cy1-ay) - (by-ay)*(cx2-ax) AS d3,
+      (bx-ax)*(cy2-ay) - (by-ay)*(cx2-ax) AS d4
+    FROM lflag)
+),
+lparts AS (
+  SELECT fid, x, y,
+    sum(CASE WHEN isect AND (prev_i IS NULL OR NOT prev_i OR NOT prev_b)
+             THEN 1 ELSE 0 END) AS parts
+  FROM (SELECT *,
+          lag(isect) OVER (PARTITION BY fid, x, y ORDER BY i) AS prev_i,
+          lag(b_in) OVER (PARTITION BY fid, x, y ORDER BY i) AS prev_b
+        FROM lint)
+  GROUP BY 1, 2, 3
+),
+lvflag AS (
+  SELECT p.fid, p.x, p.y,
+    (v.lon*128 BETWEEN {_BX1.replace('xx', 'p.x')} AND {_BX2.replace('xx', 'p.x')}
+     AND v.latp*128 BETWEEN {_BY1.replace('yy', 'p.y')} AND {_BY2.replace('yy', 'p.y')}) AS vin,
+    {_PX.format(lon='v.lon', x='p.x')} AS pxv
+  FROM pairs p JOIN (
+    SELECT fid, lons[j] AS lon, latps[j] AS latp
+    FROM (SELECT fid, lons, latps,
+                 unnest(range(1, CAST(len(lons) AS INT) + 1)) AS j FROM lw)
+  ) v USING (fid)
+),
+lpair2 AS (
+  SELECT fid, x, y, bool_and(vin) AS whole_in,
+         count(*) AS nv, sum(pxv) AS spx
+  FROM lvflag GROUP BY 1, 2, 3
+),
+ltile AS (
+  SELECT x, y, count(*) AS n_feats, sum(pr.parts) AS n_parts,
+         bool_and(whole_in) AS all_in, sum(nv) AS pts, sum(spx) AS spx
+  FROM lpair2 v JOIN lparts pr USING (fid, x, y)
+  GROUP BY 1, 2
+)
+SELECT x, y, n_feats, CAST(n_parts AS BIGINT) AS n_parts,
+  CAST(0 AS BIGINT) AS n_close,
+  CAST(CASE WHEN all_in THEN pts ELSE -1 END AS BIGINT) AS pts_in,
+  CAST(CASE WHEN all_in THEN spx ELSE -1 END AS BIGINT) AS spx_in,
+  TRUE AS geom_ok
+FROM ltile
+"""
+
+
+# Polygons: every synthetic polygon is an axis-aligned square (octagon
+# offsets are {-1,0,1} x r) smaller than a z14 tile, so the ring walk
+# covers every assigned tile (the scanline fill is a no-op at this
+# scale) and hole/outer box tests are pure interval comparisons.
+# Outer rings are winding-corrected (reversed) before packing, so walk
+# segments swap endpoints (same convention as the pyramid oracle);
+# hole rings stay in original order.
+_POLYS_SQL = f"""
+, pfeat AS (
+  -- fid doubled+parity: way-poly and relation id spaces overlap
+  -- (wid0 = d*8+k*2 vs rid = d*8+k); the engine separates them by elem
+  SELECT wid0 * 2 AS fid, lon0, latp0, r, FALSE AS has_hole
+  FROM polys WHERE h2 % 8 <> 0
+  UNION ALL
+  SELECT rid * 2 + 1, lon0, latp0, r, (h2 % 16 = 0)
+  FROM polys WHERE h2 % 8 = 0
+),
+pring AS (
+  SELECT fid, j,
+    lon0 + dx[CAST(j % 8 + 1 AS INT)] * r AS vl,
+    latp0 + dy[CAST(j % 8 + 1 AS INT)] * r AS vp
+  FROM pfeat, oct, (SELECT unnest(range(9)) AS j) js
+),
+phring AS (
+  SELECT fid, j,
+    lon0 + dx[CAST(j % 8 + 1 AS INT)] * (r // 3) AS vl,
+    latp0 + dy[CAST(j % 8 + 1 AS INT)] * (r // 3) AS vp
+  FROM pfeat, oct, (SELECT unnest(range(9)) AS j) js
+  WHERE has_hole
+),
+psegs AS (
+  -- outer segments endpoint-swapped (packed rings are reversed to CW)
+  SELECT a.fid, a.j AS i, b.vl AS al, b.vp AS ap, a.vl AS bl, a.vp AS bp
+  FROM pring a JOIN pring b ON a.fid = b.fid AND b.j = a.j + 1
+  UNION ALL
+  SELECT a.fid, a.j + 16, a.vl, a.vp, b.vl, b.vp
+  FROM phring a JOIN phring b ON a.fid = b.fid AND b.j = a.j + 1
+),
+{_dda_cand('psegs')},
+pflags AS (
+  SELECT p.fid, p.x, p.y, f.has_hole,
+    ((f.lon0 - f.r)*128 >= {_BX1.replace('xx', 'p.x')}
+     AND (f.lon0 + f.r)*128 <= {_BX2.replace('xx', 'p.x')}
+     AND (f.latp0 - f.r)*128 >= {_BY1.replace('yy', 'p.y')}
+     AND (f.latp0 + f.r)*128 <= {_BY2.replace('yy', 'p.y')}) AS outer_in,
+    (f.has_hole
+     AND (f.lon0 - f.r // 3)*128 >= {_BX1.replace('xx', 'p.x')}
+     AND (f.lon0 + f.r // 3)*128 <= {_BX2.replace('xx', 'p.x')}
+     AND (f.latp0 - f.r // 3)*128 >= {_BY1.replace('yy', 'p.y')}
+     AND (f.latp0 + f.r // 3)*128 <= {_BY2.replace('yy', 'p.y')}) AS hole_in
+  FROM pairs p JOIN pfeat f USING (fid)
+),
+ppx AS (
+  SELECT p.fid, p.x, p.y,
+    count(*) AS pts, sum({_PX.format(lon='v.vl', x='p.x')}) AS spx
+  FROM pairs p JOIN (
+    SELECT fid, vl FROM pring
+    UNION ALL SELECT fid, vl FROM phring
+  ) v USING (fid)
+  GROUP BY 1, 2, 3
+),
+ptile AS (
+  SELECT x, y, count(*) AS n_feats,
+    sum(1 + CASE WHEN hole_in THEN 1 ELSE 0 END) AS n_rings,
+    bool_and(outer_in) AS all_in,
+    sum(pts) AS pts, sum(spx) AS spx
+  FROM pflags JOIN ppx USING (fid, x, y)
+  GROUP BY 1, 2
+)
+SELECT x, y, n_feats, CAST(n_rings AS BIGINT) AS n_parts,
+  CAST(n_rings AS BIGINT) AS n_close,
+  CAST(CASE WHEN all_in THEN pts ELSE -1 END AS BIGINT) AS pts_in,
+  CAST(CASE WHEN all_in THEN spx ELSE -1 END AS BIGINT) AS spx_in,
+  TRUE AS geom_ok
+FROM ptile
+"""
+
+
+ORACLES = {
+    "tile_bytes_lines": GEOCODE_CTE + _LINES_SQL,
+    "tile_bytes_polys": GEOCODE_CTE + _POLYS_SQL,
+}
