@@ -468,6 +468,82 @@ def q_tile_bytes_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("sum_py2") == F.col("_spy2"))).alias("py_ok")))
 
 
+def q_sink_mbtiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 driver-visible (VERDICT r3 ask #8): write the real z14 tiles
+    through the MBTiles SQLite sink (TMS y-flip 2^z-1-y, reference
+    src/mbtiles.cpp:29), read the file back, and verify per tile that
+    the stored bytes are IDENTICAL to the engine's tile bytes
+    (sha256 round-trip). The oracle re-derives the z14 tile coordinate
+    set from first principles (the proven pyramid walk) + the y-flip."""
+    import hashlib
+    import os
+    import shutil
+    import sqlite3
+    import tempfile
+
+    from . import pipeline
+
+    docs = load_docs(spark, sf_dir)
+    tiles = pipeline.pyramid_df(spark, docs, zooms=[14]).localCheckpoint()
+    tmpd = tempfile.mkdtemp(prefix="tms_mbtiles_")
+    try:
+        path = pipeline.write_mbtiles(tiles, os.path.join(tmpd, "t.mbtiles"))
+        con = sqlite3.connect(path)
+        rows = con.execute(
+            "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles").fetchall()
+        con.close()
+    finally:
+        shutil.rmtree(tmpd, ignore_errors=True)
+    rb = spark.createDataFrame(
+        [(int(z), int(xx), int(rr), hashlib.sha256(bytes(b)).hexdigest())
+         for z, xx, rr, b in rows],
+        "zoom_level long, tile_column long, tile_row long, rb_sha string")
+    orig = tiles.select(
+        F.col("z").cast("long").alias("zoom_level"),
+        F.col("x").alias("tile_column"),
+        (F.lit((1 << 14) - 1) - F.col("y")).alias("tile_row"),
+        F.lower(F.sha2(F.col("tile"), 256)).alias("o_sha"))
+    j = rb.join(orig, ["zoom_level", "tile_column", "tile_row"], "full")
+    return j.select(
+        "zoom_level", "tile_column", "tile_row",
+        F.coalesce(F.col("rb_sha") == F.col("o_sha"), F.lit(False)).alias("bytes_ok"))
+
+
+def q_sink_tilefiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 driver-visible: executor-side {z}/{x}/{y}.pbf file-per-tile
+    sink (reference src/tile_worker.cpp:236-249) read back from the
+    file tree with byte-identity per tile."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from . import pipeline
+
+    docs = load_docs(spark, sf_dir)
+    tiles = pipeline.pyramid_df(spark, docs, zooms=[14]).localCheckpoint()
+    tmpd = tempfile.mkdtemp(prefix="tms_files_")
+    try:
+        pipeline.write_tile_files(tiles, tmpd)
+        rows = []
+        for zdir in os.listdir(tmpd):
+            for xdir in os.listdir(os.path.join(tmpd, zdir)):
+                for yf in os.listdir(os.path.join(tmpd, zdir, xdir)):
+                    with open(os.path.join(tmpd, zdir, xdir, yf), "rb") as f:
+                        b = f.read()
+                    rows.append((int(zdir), int(xdir), int(yf.split(".")[0]),
+                                 hashlib.sha256(b).hexdigest()))
+    finally:
+        shutil.rmtree(tmpd, ignore_errors=True)
+    rb = spark.createDataFrame(rows, "z long, x long, y long, rb_sha string")
+    orig = tiles.select(F.col("z").cast("long").alias("z"), "x", "y",
+                        F.lower(F.sha2(F.col("tile"), 256)).alias("o_sha"))
+    j = rb.join(orig, ["z", "x", "y"], "full")
+    return j.select("z", "x", "y",
+                    F.coalesce(F.col("rb_sha") == F.col("o_sha"),
+                               F.lit(False)).alias("bytes_ok"))
+
+
 def q_u1_layer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 multi-source union + per-layer aggregation."""
     feats = q_classify_features(spark, sf_dir)
@@ -670,7 +746,7 @@ _FMZ_AREA = ("CASE WHEN {a} >= 400000000 THEN 6 WHEN {a} >= 150000000 THEN 9 "
 _FMZ_LEN = ("CASE WHEN {l} >= 300000000 THEN 8 WHEN {l} >= 100000000 THEN 10 "
             "ELSE 11 END")
 
-_PYRAMID_SQL = f"""
+_PYRAMID_CTES = f"""
 , seg_src AS (
   SELECT 'way' AS elem, wid0 AS fid, wid0 AS seg_way, FALSE AS swap FROM lines
   UNION ALL
@@ -748,6 +824,9 @@ rolled AS (
        (SELECT unnest([6, 13, 14]) AS z) zs
   WHERE f.fmz <= zs.z
 )
+"""
+
+_PYRAMID_SQL = _PYRAMID_CTES + """
 SELECT z, x, y, count(*) AS n_features FROM rolled GROUP BY 1, 2, 3
 """
 
@@ -837,6 +916,19 @@ FROM way_feats WHERE layer = 'transportation'
 SELECT wid0 AS way_id, 1 AS n_polys, 5.0 AS ratio FROM polys
 """,
     "pyramid_tiles": GEOCODE_CTE + _PYRAMID_SQL,
+    # sinks: the z14 tile COORD set re-derived from the proven pyramid
+    # walk; byte identity is wire-verified Spark-side (bytes_ok),
+    # predicted TRUE here (reference: src/mbtiles.cpp:29 y-flip,
+    # src/tile_worker.cpp:236-249 file tree)
+    "sink_mbtiles": GEOCODE_CTE + _PYRAMID_CTES + """
+SELECT DISTINCT CAST(14 AS BIGINT) AS zoom_level, x AS tile_column,
+  CAST(16383 - y AS BIGINT) AS tile_row, TRUE AS bytes_ok
+FROM rolled WHERE z = 14
+""",
+    "sink_tilefiles": GEOCODE_CTE + _PYRAMID_CTES + """
+SELECT DISTINCT CAST(14 AS BIGINT) AS z, x, y, TRUE AS bytes_ok
+FROM rolled WHERE z = 14
+""",
     # sum_px is bit-exact: min_lon(x) = ldexp(x,-14)*360-180 is pure
     # power-of-two arithmetic (x/16384.0 is exact), xscale likewise, and
     # trunc replicates the C int cast (src/coordinates.cpp:90-94). Tag
@@ -904,4 +996,6 @@ QUERIES = {
     "a5_union_area": q_a5_union_area,
     "pyramid_tiles": q_pyramid_tiles,
     "tile_bytes_points": q_tile_bytes_points,
+    "sink_mbtiles": q_sink_mbtiles,
+    "sink_tilefiles": q_sink_tilefiles,
 }
