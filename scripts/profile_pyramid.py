@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -90,11 +91,15 @@ def main() -> None:
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n_reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    if n_reps < 1:
+        sys.exit("n_reps must be >= 1")
 
     evdir = "/tmp/spark-events"
     os.makedirs(evdir, exist_ok=True)
     for f in os.listdir(evdir):
-        os.remove(os.path.join(evdir, f))
+        p = os.path.join(evdir, f)
+        # a prior run may have left a v2 rolling event-log DIRECTORY here
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F

@@ -53,7 +53,7 @@ def main(argv: list | None = None) -> int:
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.execution.arrow.maxRecordsPerBatch", "131072"),
     ):
-        if spark.conf.get(k, None) in (None, "false"):
+        if spark.conf.get(k, None) is None:
             spark.conf.set(k, v)
 
     from tilemaker_spark import pipeline

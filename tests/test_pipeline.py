@@ -2,6 +2,7 @@
 
 import gzip
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -192,4 +193,10 @@ def test_stream_group_exchanges_pinned(spark, docs):
     rolled = tileassign.rollup_all_zooms(assigned, [14, 12], 14)
     tiles = encode_zoom(rolled, default_config())
     eplan = tiles._jdf.queryExecution().executedPlan().toString()
-    assert "REPARTITION_BY_NUM" in eplan
+    # the encode exchange specifically must be pinned: match the
+    # (z, x, y, _out_layer) hash partitioning with REPARTITION_BY_NUM on
+    # the same line, and forbid any unpinned by-column repartition
+    # anywhere in the plan (either would reintroduce AQE group splits)
+    assert re.search(r"REPARTITION_BY_NUM.*hashpartitioning\(z#\d+", eplan) or \
+        re.search(r"hashpartitioning\(z#\d+[^\n]*REPARTITION_BY_NUM", eplan), eplan[:3000]
+    assert "REPARTITION_BY_COL" not in eplan, eplan[:3000]

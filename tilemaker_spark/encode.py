@@ -489,7 +489,7 @@ def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
                 .withColumn("_out_layer", F.element_at(out_layer, F.col("layer"))))
     from .session import python_stage_partitions
 
-    n_parts = python_stage_partitions(assigned.sparkSession)
+    n_parts = python_stage_partitions(assigned.sparkSession, input_df=assigned)
     # `_ak` (array transforms + sort + string joins over the attr maps)
     # is the most expensive Catalyst expression in the plan. Computing
     # it AFTER the pinned exchange moves that CPU from the rollup's

@@ -141,7 +141,8 @@ def run_pyramid(spark: SparkSession, docs: DataFrame, out_dir: str,
         from .session import python_stage_partitions
 
         assigned = assigned.repartition(
-            python_stage_partitions(spark), F.col("tile_x"), F.col("tile_y"))
+            python_stage_partitions(spark, input_df=features),
+            F.col("tile_x"), F.col("tile_y"))
         _write_stage(assigned.select(*BASE_TILE_COLS), base_path)
         _lineage(spark, spark.read.parquet(base_path), "base_tiles", metrics_dir)
     base_assigned = spark.read.parquet(base_path)

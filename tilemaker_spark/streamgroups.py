@@ -5,7 +5,7 @@ plus ~2-4 ms of pandas machinery PER GROUP — ruinous when groups are
 small and numerous (measured on both the tile encoder and the relation
 assembler). The replacement contract:
 
-    df.repartition(*keys).sortWithinPartitions(*keys, ...order)
+    df.repartition(n_parts, *keys).sortWithinPartitions(*keys, ...order)
       .mapInPandas(stream_grouped(keys, process_batch), schema)
 
 The JVM does the shuffle and sort; Python receives large sorted Arrow

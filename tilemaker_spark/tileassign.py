@@ -67,14 +67,18 @@ def assign_base_tiles(features: DataFrame, base_zoom: int = 14) -> DataFrame:
     px, py = point_tile_expr(F.col("lon"), F.col("latp"), base_zoom)
     pts_assigned = pts.withColumn("tile_x", px).withColumn("tile_y", py)
 
-    from .session import python_stage_partitions
+    from .session import is_small_input, python_stage_partitions
 
     geoms = features.where(F.col("geom").isNotNull())
     # round-robin rebalance ahead of the Python cover walk: the feature
     # checkpoint's partitioning reflects upstream join keys, and one
     # partition dense in large polygons floors this stage at its max
-    # task (measured 7.9 s max vs 1.4 s mean at 8 cores / x64)
-    geoms = geoms.repartition(python_stage_partitions(features.sparkSession))
+    # task (measured 7.9 s max vs 1.4 s mean at 8 cores / x64). At
+    # small inputs the rebalance shuffle + fine task count cost more
+    # than the balance buys (BENCH.md A/B: 4.2 s bare vs 6.6-10.9 s
+    # with it at sf0.1), so it is skipped below the size threshold.
+    if not is_small_input(features):
+        geoms = geoms.repartition(python_stage_partitions(features.sparkSession))
     cover = _cover_udf(base_zoom)
     geoms_assigned = (
         geoms.withColumn("tile_id", F.explode(cover(F.col("kind"), F.col("geom"))))
