@@ -208,11 +208,17 @@ def q_typed_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_a5_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/G15 --combine geometric union: per polygon-doc, two congruent
-    axis-aligned 'octagon' squares (side 2r) offset by r//2 along one
-    axis are unioned by the even-odd kernel (kernels/polyunion —
-    reference: Clipper ctUnion in src/tile_worker.cpp:45-54). The union
-    area over r^2 is 4 + 2*(r//2)/r, which rounds to 5.00 at 2dp for
-    every r >= 2000 — any sign/overflow/stitching bug breaks it."""
+    axis-aligned 'octagon' squares (side 2r) offset by a DOC-SEEDED
+    distance d = floor(r*(2k+1)/16), k = h2 % 16, along one axis are
+    unioned by the even-odd kernel (kernels/polyunion — reference:
+    Clipper ctUnion in src/tile_worker.cpp:45-54). The union runs on
+    LOCAL integer coordinates (translated to the anchor — exact in
+    doubles, |coord| <= 3r < 2^16), and the doubled shoelace area is an
+    exact integer: area2 = 2*(4r^2 + 2rd) = 8r^2 + 4rd, a closed form
+    the SQL oracle re-derives per row. ratio = area2/(2r^2) then varies
+    over 16 doc-seeded offset fractions (4.125 .. 7.875) instead of the
+    round-2/3 constant 5.00 — a degenerate union can no longer pass by
+    accident."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -221,42 +227,52 @@ def q_a5_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_docs(spark, sf_dir)
     seeds = geocode._seed_frame(docs)
     polys = seeds.where(F.col("kind") == 2).select(
-        "wid0", "lon0", "latp0", "h2",
+        "wid0", "h2",
         geocode._poly_r(F.col("h2")).alias("r"),
         (F.col("h2") % 2).alias("axis"))
 
-    @pandas_udf("struct<n_polys:int, ratio:double>")
-    def union_stats(lon0, latp0, r, axis):
+    @pandas_udf("struct<n_polys:int, area2:long>")
+    def union_stats(r, axis, h2):
         import numpy as np
         dx = np.array([1, 1, 0, -1, -1, -1, 0, 1])
         dy = np.array([0, 1, 1, 1, 0, -1, -1, -1])
         rows = []
-        for lo, la, rr, ax in zip(lon0, latp0, r, axis):
+        for rr, ax, h in zip(r, axis, h2):
             rr = int(rr)
-            d = rr // 2
+            k = int(h) % 16
+            d = (rr * (2 * k + 1)) // 16   # d/r in {1/16 .. 31/16} < 2: always overlapping
             ox = d if ax == 0 else 0
             oy = d if ax == 1 else 0
 
             def octo(cx, cy):
-                xs = (cx + dx * rr) / 1e7
-                ys = (cy + dy * rr) / 1e7
+                xs = (cx + dx * rr).astype(np.float64)
+                ys = (cy + dy * rr).astype(np.float64)
                 xs = np.concatenate((xs, xs[:1]))
                 ys = np.concatenate((ys, ys[:1]))
                 return geomops.correct_winding(xs, ys, outer=True)
 
             res = polyunion.union_polygons(
-                [[octo(lo, la)], [octo(lo + ox, la + oy)]])
-            area = sum(-geomops.signed_area(xs, ys)
-                       for rings in res for xs, ys in rings)
-            ratio = area / (rr / 1e7) ** 2
+                [[octo(0, 0)], [octo(ox, oy)]])
+            # the kernel snaps to its own (non-integer-multiple) grid,
+            # leaving ~1e-5 vertex noise; the TRUE union vertices are
+            # exact lattice points in this local frame, so rint + an
+            # int64 shoelace recovers the exact doubled area
+            area2 = 0
+            for rings in res:
+                for xs, ys in rings:
+                    xi = np.rint(xs).astype(np.int64)
+                    yi = np.rint(ys).astype(np.int64)
+                    area2 += int(np.sum(xi[1:] * yi[:-1] - xi[:-1] * yi[1:]))
             rows.append({"n_polys": len(res),
-                         "ratio": float(np.floor(ratio * 100.0 + 0.5) / 100.0)})
+                         "area2": int(area2)})
         return pd.DataFrame(rows)
 
-    return (polys.withColumn("s", union_stats("lon0", "latp0", "r", "axis"))
+    return (polys.withColumn("s", union_stats("r", "axis", "h2"))
             .select(F.col("wid0").alias("way_id"),
                     F.col("s.n_polys").alias("n_polys"),
-                    F.col("s.ratio").alias("ratio")))
+                    F.col("s.area2").alias("area2"),
+                    (F.col("s.area2").cast("double")
+                     / (F.lit(2.0) * F.col("r") * F.col("r"))).alias("ratio")))
 
 
 def q_pyramid_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -912,8 +928,15 @@ SELECT object_id, layer, CAST(NULL AS DOUBLE) AS rank,
        cls IN ('primary', 'secondary') AS paved
 FROM way_feats WHERE layer = 'transportation'
 """,
+    # overlapping squares (d < 2r by construction) union into ONE outer
+    # ring whose doubled shoelace area is exactly 8r^2 + 4rd — the
+    # oracle re-derives d and the area per row; 16 doc-seeded offset
+    # fractions give ratio values 4.125 .. 7.875
     "a5_union_area": GEOCODE_CTE + """
-SELECT wid0 AS way_id, 1 AS n_polys, 5.0 AS ratio FROM polys
+SELECT wid0 AS way_id, CAST(1 AS INT) AS n_polys,
+  CAST(8*r*r + 4*r*((r*(2*(h2 % 16)+1)) // 16) AS BIGINT) AS area2,
+  CAST(8*r*r + 4*r*((r*(2*(h2 % 16)+1)) // 16) AS DOUBLE) / (2.0*r*r) AS ratio
+FROM polys
 """,
     "pyramid_tiles": GEOCODE_CTE + _PYRAMID_SQL,
     # sinks: the z14 tile COORD set re-derived from the proven pyramid
