@@ -104,7 +104,8 @@ def assemble_relation_geometries(rel_features: DataFrame, relations: DataFrame,
     from .session import python_stage_partitions
 
     grouped = (mem_coords.join(feat, "rel_id")
-               .repartition(python_stage_partitions(rel_features.sparkSession),
+               .repartition(python_stage_partitions(rel_features.sparkSession,
+                                                    input_df=rel_features),
                             F.col("rel_id"))
                .sortWithinPartitions("rel_id", "layer", "m_pos"))
 
