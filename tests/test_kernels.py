@@ -416,3 +416,89 @@ class TestGeomPack:
         assert k == 3
         assert len(got) == 1 and len(got[0]) == 2
         assert got[0][1][0].tolist() == [1, 2, 2, 1]
+
+
+class TestBatchedCover:
+    """Batched DDA walk / scanline fill == per-feature reference kernels."""
+
+    def _random_chain(self, rng, npts):
+        lon0 = rng.uniform(-170, 170)
+        lat0 = rng.uniform(-60, 60)
+        lons = lon0 + np.cumsum(rng.uniform(-0.3, 0.3, npts))
+        lats = lat0 + np.cumsum(rng.uniform(-0.3, 0.3, npts))
+        return ((lons * 1e7).astype(np.int64),
+                (M.lat2latp(lats) * 1e7).astype(np.int64))
+
+    def test_batched_walk_matches_per_chain(self):
+        rng = np.random.default_rng(42)
+        z = 14
+        chains = [self._random_chain(rng, int(rng.integers(1, 40))) for _ in range(60)]
+        lons = np.concatenate([c[0] for c in chains]).astype(np.float64) / 1e7
+        lats = np.concatenate([c[1] for c in chains]).astype(np.float64) / 1e7
+        cids = np.repeat(np.arange(len(chains), dtype=np.int64),
+                         [len(c[0]) for c in chains])
+        c_out, t_out = tilecover.batched_segment_walk(lons, lats, cids, z)
+        for i, (lo, la) in enumerate(chains):
+            want = tilecover.segment_walk_tiles(lo / 1e7, la / 1e7, z)
+            got = np.unique(t_out[c_out == i])
+            assert got.tolist() == want.tolist(), f"chain {i}"
+
+    def test_batched_fill_matches_per_group(self):
+        rng = np.random.default_rng(7)
+        groups = []
+        for _ in range(40):
+            k = int(rng.integers(1, 30))
+            xs = rng.integers(100, 110, k)
+            ys = rng.integers(200, 230, k)
+            groups.append(tilecover.pack_tile(xs, ys))
+        gids = np.repeat(np.arange(len(groups), dtype=np.int64),
+                         [len(g) for g in groups])
+        fg, ft = tilecover.batched_fill_covered(gids, np.concatenate(groups))
+        for i, g in enumerate(groups):
+            want = tilecover.fill_covered_tiles(g)
+            got = np.unique(ft[fg == i])
+            assert got.tolist() == want.tolist(), f"group {i}"
+
+    def test_cover_udf_batch_matches_reference_loop(self):
+        """Drive the UDF's inner function on a mixed batch and compare
+        against the original per-feature composition."""
+        import pandas as pd
+        from tilemaker_spark import tileassign
+
+        rng = np.random.default_rng(3)
+        z = 14
+        rows = []
+        for i in range(50):
+            if i % 2 == 0:
+                nparts = int(rng.integers(1, 3))
+                parts = [self._random_chain(rng, int(rng.integers(2, 25)))
+                         for _ in range(nparts)]
+                rows.append((geompack.KIND_LINE, geompack.pack_line(parts)))
+            else:
+                npolys = int(rng.integers(1, 3))
+                polys = []
+                for _ in range(npolys):
+                    lo, la = self._random_chain(rng, int(rng.integers(4, 20)))
+                    lo = np.append(lo, lo[0])
+                    la = np.append(la, la[0])
+                    polys.append([(lo, la)])
+                rows.append((geompack.KIND_POLYGON, geompack.pack_polygon(polys)))
+
+        kind = pd.Series([k for k, _ in rows])
+        geom = pd.Series([b for _, b in rows])
+        batched = tileassign._cover_udf(z).func(kind, geom)
+
+        for i, (k, buf) in enumerate(rows):
+            gk, payload = geompack.unpack(bytes(buf))
+            if gk == geompack.KIND_LINE:
+                ids = [tilecover.segment_walk_tiles(lo / 1e7, la / 1e7, z)
+                       for lo, la in payload]
+                want = np.unique(np.concatenate(ids))
+            else:
+                ids = []
+                for rings in payload:
+                    rt = [tilecover.segment_walk_tiles(lo / 1e7, la / 1e7, z)
+                          for lo, la in rings]
+                    ids.append(tilecover.fill_covered_tiles(np.concatenate(rt)))
+                want = np.unique(np.concatenate(ids))
+            assert batched.iloc[i] == want.tolist(), f"feature {i}"

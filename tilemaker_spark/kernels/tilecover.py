@@ -112,6 +112,108 @@ def fill_covered_tiles(tile_ids: np.ndarray) -> np.ndarray:
     return np.unique(np.concatenate([tile_ids] + fills))
 
 
+def batched_segment_walk(lons: np.ndarray, latps: np.ndarray,
+                         chain_ids: np.ndarray, zoom: int):
+    """J5 over MANY concatenated chains in one vectorized pass.
+
+    ``chain_ids`` labels each vertex; consecutive equal labels form a
+    chain. Semantics per chain are identical to
+    :func:`segment_walk_tiles` (vertex tiles + DDA border crossings,
+    include/coordinates.h:93-133) but the step loop runs once over the
+    whole batch instead of once per feature: segments are sorted by
+    crossing count so iteration k touches only the suffix with >= k
+    crossings — total work stays O(sum of crossings), with no
+    per-feature Python dispatch.
+
+    Returns ``(chain_out, tile_out)`` int64 arrays (NOT uniqued).
+    """
+    lons = np.asarray(lons, dtype=np.float64)
+    latps = np.asarray(latps, dtype=np.float64)
+    chain_ids = np.asarray(chain_ids, dtype=np.int64)
+    xf = M.lon2tilexf(lons, zoom)
+    yf = M.latp2tileyf(latps, zoom)
+    xi = np.trunc(xf).astype(np.int64)
+    yi = np.trunc(yf).astype(np.int64)
+
+    out_t = [pack_tile(xi, yi)]
+    out_c = [chain_ids]
+    if len(lons) >= 2:
+        same = chain_ids[1:] == chain_ids[:-1]
+        s = np.nonzero(same)[0]  # indices of segment start vertices
+        if len(s):
+            sxf1, syf1 = xf[s], yf[s]
+            sx1, sy1, sx2, sy2 = xi[s], yi[s], xi[s + 1], yi[s + 1]
+            sdx = xf[s + 1] - xf[s]
+            sdy = yf[s + 1] - yf[s]
+            scid = chain_ids[s]
+
+            def _axis(a1, a2, af1, bf1, d_num, d_den, swap):
+                # crossings along one axis: for each border k between
+                # min(a1,a2) and max(a1,a2), other coord = trunc(bf1 +
+                # (border - af1) * slope)
+                cross = a1 != a2
+                if not cross.any():
+                    return
+                idx = np.nonzero(cross)[0]
+                sl = d_num[idx] / d_den[idx]
+                amin = np.minimum(a1[idx], a2[idx])
+                amax = np.maximum(a1[idx], a2[idx])
+                steps = amax - amin
+                order = np.argsort(steps, kind="stable")
+                idx, sl, amin = idx[order], sl[order], amin[order]
+                steps_sorted = steps[order]
+                max_steps = int(steps_sorted[-1])
+                for k in range(1, max_steps + 1):
+                    lo = np.searchsorted(steps_sorted, k, side="left")
+                    ii = idx[lo:]
+                    acur = amin[lo:] + k
+                    bcur = np.trunc(bf1[ii] + (acur.astype(np.float64) - af1[ii]) * sl[lo:]).astype(np.int64)
+                    if swap:
+                        out_t.append(pack_tile(bcur, acur))
+                    else:
+                        out_t.append(pack_tile(acur, bcur))
+                    out_c.append(scid[ii])
+
+            _axis(sx1, sx2, sxf1, syf1, sdy, sdx, swap=False)
+            _axis(sy1, sy2, syf1, sxf1, sdx, sdy, swap=True)
+
+    return np.concatenate(out_c), np.concatenate(out_t)
+
+
+def batched_fill_covered(gids: np.ndarray, tile_ids: np.ndarray):
+    """J6 over many fill groups at once (src/coordinates.cpp:52-67).
+
+    Per group ``gid``: unique the tiles, then per x-column fill every y
+    between successive covered tiles. The variable-length aranges are
+    vectorized with the repeat/cumsum trick. Returns (gids, tiles)
+    pairs — unique per group, fills included, unsorted.
+    """
+    gids = np.asarray(gids, dtype=np.int64)
+    tile_ids = np.asarray(tile_ids, dtype=np.int64)
+    if len(gids) == 0:
+        return gids, tile_ids
+    order = np.lexsort((tile_ids, gids))
+    g, t = gids[order], tile_ids[order]
+    keep = np.ones(len(g), dtype=bool)
+    keep[1:] = (g[1:] != g[:-1]) | (t[1:] != t[:-1])
+    g, t = g[keep], t[keep]
+    x, y = unpack_tile(t)
+    same = (g[1:] == g[:-1]) & (x[1:] == x[:-1])
+    gap = y[1:] - y[:-1]
+    need = same & (gap > 1)
+    if not need.any():
+        return g, t
+    idx = np.nonzero(need)[0]
+    counts = (gap[idx] - 1).astype(np.int64)
+    total = int(counts.sum())
+    reps = np.repeat(np.arange(len(idx), dtype=np.int64), counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    fy = y[idx][reps] + 1 + within
+    fx = x[idx][reps]
+    fg = g[idx][reps]
+    return np.concatenate([g, fg]), np.concatenate([t, pack_tile(fx, fy)])
+
+
 def polygon_cover_tiles(lons: np.ndarray, latps: np.ndarray, zoom: int) -> np.ndarray:
     """Ring walk + interior fill, as the reference does for polygons
     (src/osm_lua_processing.cpp:448-458: insertIntermediateTiles then

@@ -37,22 +37,66 @@ def point_tile_expr(lon_col, latp_col, zoom: int):
 def _cover_udf(base_zoom: int):
     @pandas_udf(ArrayType(LongType()))
     def cover(kind: pd.Series, geom: pd.Series) -> pd.Series:
-        out = []
-        for k, buf in zip(kind, geom):
+        # Flatten the whole Arrow batch into one coordinate soup and run
+        # ONE vectorized DDA walk + ONE scanline fill over it, instead of
+        # a Python call per chain (the per-row dispatch dominated for the
+        # small-way population). Chains (line parts / polygon rings) are
+        # labelled; fills group per polygon (a poly's rings fill
+        # together, matching src/osm_lua_processing.cpp:448-458).
+        n = len(geom)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lon_parts, lat_parts, chain_lens = [], [], []
+        chain_feat, chain_gid, gid_feat = [], [], []
+        for i, buf in enumerate(geom):
             gk, payload = geompack.unpack(bytes(buf))
             if gk == geompack.KIND_LINE:
-                ids = [tilecover.segment_walk_tiles(lo / 1e7, la / 1e7, base_zoom)
-                       for lo, la in payload]
-                tiles = np.unique(np.concatenate(ids))
-            else:  # polygon: walk every ring, then scanline-fill interior
-                ids = []
+                for lo, la in payload:
+                    lon_parts.append(lo)
+                    lat_parts.append(la)
+                    chain_lens.append(len(lo))
+                    chain_feat.append(i)
+                    chain_gid.append(-1)  # lines: no interior fill
+            else:
                 for rings in payload:
-                    ring_tiles = [tilecover.segment_walk_tiles(lo / 1e7, la / 1e7, base_zoom)
-                                  for lo, la in rings]
-                    ids.append(tilecover.fill_covered_tiles(np.concatenate(ring_tiles)))
-                tiles = np.unique(np.concatenate(ids))
-            out.append(tiles.tolist())
-        return pd.Series(out)
+                    gid = len(gid_feat)
+                    gid_feat.append(i)
+                    for lo, la in rings:
+                        lon_parts.append(lo)
+                        lat_parts.append(la)
+                        chain_lens.append(len(lo))
+                        chain_feat.append(i)
+                        chain_gid.append(gid)
+        lons = np.concatenate(lon_parts).astype(np.float64) / 1e7
+        lats = np.concatenate(lat_parts).astype(np.float64) / 1e7
+        chain_ids = np.repeat(
+            np.arange(len(chain_lens), dtype=np.int64),
+            np.asarray(chain_lens, dtype=np.int64))
+        c_out, t_out = tilecover.batched_segment_walk(lons, lats, chain_ids, base_zoom)
+
+        feat_of_chain = np.asarray(chain_feat, dtype=np.int64)
+        gid_of_chain = np.asarray(chain_gid, dtype=np.int64)
+        feats = feat_of_chain[c_out]
+        gids = gid_of_chain[c_out]
+        is_poly = gids >= 0
+        parts_f = [feats[~is_poly]]
+        parts_t = [t_out[~is_poly]]
+        if is_poly.any():
+            fg, ft = tilecover.batched_fill_covered(gids[is_poly], t_out[is_poly])
+            parts_f.append(np.asarray(gid_feat, dtype=np.int64)[fg])
+            parts_t.append(ft)
+        all_f = np.concatenate(parts_f)
+        all_t = np.concatenate(parts_t)
+
+        # unique (feature, tile) pairs, sorted — identical output order
+        # to the previous per-feature np.unique
+        order = np.lexsort((all_t, all_f))
+        f, t = all_f[order], all_t[order]
+        keep = np.ones(len(f), dtype=bool)
+        keep[1:] = (f[1:] != f[:-1]) | (t[1:] != t[:-1])
+        f, t = f[keep], t[keep]
+        bounds = np.searchsorted(f, np.arange(n + 1, dtype=np.int64))
+        return pd.Series([t[bounds[i]:bounds[i + 1]].tolist() for i in range(n)])
 
     return cover
 
