@@ -200,3 +200,39 @@ def test_stream_group_exchanges_pinned(spark, docs):
     assert re.search(r"REPARTITION_BY_NUM.*hashpartitioning\(z#\d+", eplan) or \
         re.search(r"hashpartitioning\(z#\d+[^\n]*REPARTITION_BY_NUM", eplan), eplan[:3000]
     assert "REPARTITION_BY_COL" not in eplan, eplan[:3000]
+
+
+def test_salted_encode_byte_identical(spark, docs):
+    """The salted two-stage encoder (skew shave: partition at
+    (layer, kind, attr-class) granularity, rebuild dictionaries in a
+    light second stage) must produce byte-identical tiles to the
+    single-stage path — same bytes, hashes, counts — on real pipeline
+    data with combine on (the hardest case: A5 merge runs must not
+    split across salt buckets)."""
+    from tilemaker_spark import pipeline, tileassign
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.encode import encode_zoom
+
+    features = pipeline.build_features(*__import__(
+        "tilemaker_spark.geocode", fromlist=["geocode"]).geocode(docs))
+    assigned = tileassign.assign_base_tiles(features, 14)
+    rolled = tileassign.rollup_all_zooms(assigned, [14, 12, 6], 14)
+    cfg = default_config()
+    cfg.combine_similar = True  # reference default ON — the hard case
+
+    plain = encode_zoom(rolled, cfg, salted=False)
+    salted = encode_zoom(rolled, cfg, salted=True)
+
+    # both Python exchanges in the salted plan must be pinned
+    splan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_COL" not in splan, splan[:3000]
+
+    key = lambda r: (r["z"], r["x"], r["y"])
+    a = {key(r): (bytes(r["tile"]), r["feature_count"], r["geometry_hash"],
+                  r["raw_bytes"]) for r in plain.collect()}
+    b = {key(r): (bytes(r["tile"]), r["feature_count"], r["geometry_hash"],
+                  r["raw_bytes"]) for r in salted.collect()}
+    assert set(a) == set(b)
+    diff = [k for k in a if a[k] != b[k]]
+    assert not diff, f"{len(diff)} tiles differ, e.g. {diff[:5]}"
+    assert len(a) > 100  # non-trivial corpus

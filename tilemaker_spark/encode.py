@@ -171,6 +171,169 @@ def _centroid_cmds(geom_buf, lonv, latpv, bb, box):
 
 # --------------------------------------------------------- stream encoder
 
+def _gen_features(cols, sel, tol, bb, box, combine):
+    """Walk one sorted row selection — all rows of one sub-layer within
+    a (tile, out_layer) group, or one (layer, kind, _ak) segment in the
+    salted path — and yield ``(ri, geom_type, cmds, geom_bytes_or_None)``
+    per output feature. Exact reference tile-worker flow
+    (src/tile_worker.cpp:102-254): batched plain points, A5 combine
+    runs, clip -> union -> simplify -> delta encode."""
+    kind_a = cols["kind"]
+    ak_a = cols["ak"]
+    geom_a = cols["geom"]
+    lon_a = cols["lon"]
+    latp_a = cols["latp"]
+    asc_a = cols["asc"]
+
+    # ---- batched plain-point path (VERDICT r2 wrong #2): points are
+    # the most common feature kind; clip-mask + pixel scale + zigzag +
+    # varint run as ONE numpy pass over all lon/latp point rows of this
+    # selection instead of per-feature 1-element arrays in
+    # _centroid_cmds. Geometry-payload centroids (LayerAsCentroid of a
+    # polygon) stay per-feature.
+    pt_geom: dict = {}
+    is_pt = (kind_a[sel] == 1) | np.array(
+        [bool(v) for v in asc_a[sel]], dtype=bool)
+    if is_pt.any():
+        pr = sel[is_pt]
+        plain = np.array([geom_a[ri] is None for ri in pr], dtype=bool)
+        pp = pr[plain]
+        if len(pp):
+            lons = lon_a[pp] / 1e7
+            latps = latp_a[pp] / 1e7
+            bxmin, bymin, bxmax, bymax = box
+            ok = ((lons > bxmin) & (lons < bxmax)
+                  & (latps > bymin) & (latps < bymax))   # G7 exclusive
+            pxs, pys = bb.scale_latp_lon(latps[ok], lons[ok])
+            zxs = (pxs << 1) ^ (pxs >> 63)
+            zys = (pys << 1) ^ (pys >> 63)
+            okr = pp[ok]
+            n_ok = len(okr)
+            if n_ok:
+                flat = np.empty(n_ok * 3, dtype=np.int64)
+                flat[0::3] = 9
+                flat[1::3] = zxs
+                flat[2::3] = zys
+                blob, lens = mvt.varint_array(flat, return_lens=True)
+                offs = np.concatenate(
+                    ([0], np.cumsum(lens.reshape(-1, 3).sum(axis=1))))
+                for t in range(n_ok):
+                    pt_geom[int(okr[t])] = (
+                        blob[offs[t]:offs[t + 1]],
+                        flat[t * 3:(t + 1) * 3])
+            for ri in pp[~ok]:
+                pt_geom[int(ri)] = None   # clipped out
+
+    i = 0
+    n_sel = len(sel)
+    while i < n_sel:
+        ri = sel[i]
+        kindv = int(kind_a[ri])
+        # A5 --combine: adjacent same-(kind, attrs) run -> one merged
+        # feature (reference: CheckNextObjectAndMerge)
+        j = i + 1
+        if combine and kindv in (2, 3) and geom_a[ri] is not None:
+            while (j < n_sel and int(kind_a[sel[j]]) == kindv
+                   and ak_a[sel[j]] == ak_a[ri]
+                   and geom_a[sel[j]] is not None):
+                j += 1
+        run = sel[i:j]
+        i = j
+        if kindv == 1 or asc_a[ri]:
+            pg = pt_geom.get(int(ri), _NOT_PLAIN)
+            if pg is _NOT_PLAIN:
+                cmds = _centroid_cmds(geom_a[ri], lon_a[ri], latp_a[ri], bb, box)
+                if cmds is not None:
+                    yield ri, mvt.GEOM_POINT, cmds, None
+            elif pg is not None:
+                yield ri, mvt.GEOM_POINT, pg[1], pg[0]
+            continue
+        if geom_a[ri] is None:
+            continue
+        if kindv == 2:
+            if len(run) == 1:
+                _, payload = geompack.unpack(bytes(geom_a[ri]))
+            else:
+                # A5 line arm: TRUE geometric union of the run's
+                # linestrings (geom::union_ fold,
+                # src/tile_worker.cpp:66-99) — exact integer interval
+                # union over collinear supports, so duplicates and
+                # collinear overlaps are emitted once and disjoint
+                # lines concatenate
+                from .kernels import lineunion
+                parts = []
+                for rj in run:
+                    _, pl = geompack.unpack(bytes(geom_a[rj]))
+                    parts.extend(pl)
+                payload = lineunion.union_line_parts(parts)
+            cmds = _line_to_cmds(payload, box, bb, tol)
+            if cmds is not None:
+                yield ri, mvt.GEOM_LINESTRING, cmds, None
+            continue
+        # polygon(s): clip each, then union the clipped rings when
+        # merging (reference unions post-clip, pre-simplify)
+        polys = []
+        for rj in run:
+            _, pl = geompack.unpack(bytes(geom_a[rj]))
+            polys.extend(_clip_polygon(pl, box))
+        if len(run) > 1 and len(polys) > 1:
+            from .kernels import polyunion
+            polys = polyunion.union_polygons(polys)
+        cmds = _polys_to_cmds(polys, bb, tol)
+        if cmds is not None:
+            yield ri, mvt.GEOM_POLYGON, cmds, None
+
+
+def _cols_from_pdf(pdf: pd.DataFrame) -> dict:
+    return {
+        "z": pdf["z"].to_numpy(dtype=np.int64),
+        "x": pdf["x"].to_numpy(dtype=np.int64),
+        "y": pdf["y"].to_numpy(dtype=np.int64),
+        "ol": pdf["_out_layer"].to_numpy(dtype=object),
+        "layer": pdf["layer"].to_numpy(dtype=object),
+        "kind": pdf["kind"].to_numpy(dtype=np.int64),
+        "ak": pdf["_ak"].to_numpy(dtype=object),
+        "elem": pdf["elem"].to_numpy(dtype=object),
+        "oid": pdf["object_id"].to_numpy(dtype=np.int64),
+        "attrs": pdf["attrs"].to_numpy(dtype=object),
+        "geom": pdf["geom"].to_numpy(dtype=object),
+        "lon": pdf["lon"].to_numpy(dtype=np.float64, na_value=np.nan),
+        "latp": pdf["latp"].to_numpy(dtype=np.float64, na_value=np.nan),
+        "asc": pdf["as_centroid"].to_numpy(),
+        "anum": (pdf["attrs_num"].to_numpy(dtype=object)
+                 if "attrs_num" in pdf.columns else None),
+        "abool": (pdf["attrs_bool"].to_numpy(dtype=object)
+                  if "attrs_bool" in pdf.columns else None),
+    }
+
+
+def _group_stream(batch_fn, pdf_key_cols):
+    """mapInPandas wrapper: re-batch the Arrow stream so no
+    ``pdf_key_cols`` group straddles a batch handed to ``batch_fn``
+    (groups are contiguous — the partition is sorted by these keys)."""
+    def stream(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            masks = []
+            for c in pdf_key_cols:
+                a = pdf[c].to_numpy()  # int64 or object — both != elementwise
+                masks.append(a[1:] != a[:-1])
+            change = np.flatnonzero(np.logical_or.reduce(masks)) + 1
+            last_start = int(change[-1]) if len(change) else 0
+            carry = pdf.iloc[last_start:]
+            if last_start:
+                yield batch_fn(pdf.iloc[:last_start])
+        if carry is not None and len(carry):
+            yield batch_fn(carry)
+    return stream
+
+
 def make_stream_encoder(cfg: Config):
     """mapInPandas function: iterator of sorted Arrow batches ->
     iterator of encoded (tile, output-layer) rows. cfg is tiny and ships
@@ -200,13 +363,9 @@ def make_stream_encoder(cfg: Config):
         layer_a = cols["layer"]
         kind_a = cols["kind"]
         ak_a = cols["ak"]
-        geom_a = cols["geom"]
-        lon_a = cols["lon"]
-        latp_a = cols["latp"]
         attrs_a = cols["attrs"]
         anum_a = cols["anum"]
         abool_a = cols["abool"]
-        asc_a = cols["asc"]
         oid_a = cols["oid"]
         elem_a = cols["elem"]
 
@@ -272,102 +431,8 @@ def make_stream_encoder(cfg: Config):
             if len(sel) == 0:
                 continue
             tol = ld.simplify_tolerance(z, y)
-            # ---- batched plain-point path (VERDICT r2 wrong #2): points
-            # are the most common feature kind; clip-mask + pixel scale +
-            # zigzag + varint run as ONE numpy pass over all lon/latp
-            # point rows of this layer run instead of per-feature
-            # 1-element arrays in _centroid_cmds. Geometry-payload
-            # centroids (LayerAsCentroid of a polygon) stay per-feature.
-            pt_geom: dict = {}
-            is_pt = (kind_a[sel] == 1) | np.array(
-                [bool(v) for v in asc_a[sel]], dtype=bool)
-            if is_pt.any():
-                pr = sel[is_pt]
-                plain = np.array([geom_a[ri] is None for ri in pr], dtype=bool)
-                pp = pr[plain]
-                if len(pp):
-                    lons = lon_a[pp] / 1e7
-                    latps = latp_a[pp] / 1e7
-                    bxmin, bymin, bxmax, bymax = box
-                    ok = ((lons > bxmin) & (lons < bxmax)
-                          & (latps > bymin) & (latps < bymax))   # G7 exclusive
-                    pxs, pys = bb.scale_latp_lon(latps[ok], lons[ok])
-                    zxs = (pxs << 1) ^ (pxs >> 63)
-                    zys = (pys << 1) ^ (pys >> 63)
-                    okr = pp[ok]
-                    n_ok = len(okr)
-                    if n_ok:
-                        flat = np.empty(n_ok * 3, dtype=np.int64)
-                        flat[0::3] = 9
-                        flat[1::3] = zxs
-                        flat[2::3] = zys
-                        blob, lens = mvt.varint_array(flat, return_lens=True)
-                        offs = np.concatenate(
-                            ([0], np.cumsum(lens.reshape(-1, 3).sum(axis=1))))
-                        for t in range(n_ok):
-                            pt_geom[int(okr[t])] = (
-                                blob[offs[t]:offs[t + 1]],
-                                flat[t * 3:(t + 1) * 3])
-                    for ri in pp[~ok]:
-                        pt_geom[int(ri)] = None   # clipped out
-            i = 0
-            n_sel = len(sel)
-            while i < n_sel:
-                ri = sel[i]
-                kindv = int(kind_a[ri])
-                # A5 --combine: adjacent same-(kind, attrs) run -> one
-                # merged feature (reference: CheckNextObjectAndMerge)
-                j = i + 1
-                if combine and kindv in (2, 3) and geom_a[ri] is not None:
-                    while (j < n_sel and int(kind_a[sel[j]]) == kindv
-                           and ak_a[sel[j]] == ak_a[ri]
-                           and geom_a[sel[j]] is not None):
-                        j += 1
-                run = sel[i:j]
-                i = j
-                if kindv == 1 or asc_a[ri]:
-                    pg = pt_geom.get(int(ri), _NOT_PLAIN)
-                    if pg is _NOT_PLAIN:
-                        cmds = _centroid_cmds(geom_a[ri], lon_a[ri], latp_a[ri], bb, box)
-                        if cmds is not None:
-                            emit(mvt.GEOM_POINT, cmds, ri)
-                    elif pg is not None:
-                        emit(mvt.GEOM_POINT, pg[1], ri, geom_bytes=pg[0])
-                    continue
-                if geom_a[ri] is None:
-                    continue
-                if kindv == 2:
-                    if len(run) == 1:
-                        _, payload = geompack.unpack(bytes(geom_a[ri]))
-                    else:
-                        # A5 line arm: TRUE geometric union of the run's
-                        # linestrings (geom::union_ fold,
-                        # src/tile_worker.cpp:66-99) — exact integer
-                        # interval union over collinear supports, so
-                        # duplicates and collinear overlaps are emitted
-                        # once and disjoint lines concatenate
-                        from .kernels import lineunion
-                        parts = []
-                        for rj in run:
-                            _, pl = geompack.unpack(bytes(geom_a[rj]))
-                            parts.extend(pl)
-                        payload = lineunion.union_line_parts(parts)
-                    cmds = _line_to_cmds(payload, box, bb, tol)
-                    if cmds is not None:
-                        emit(mvt.GEOM_LINESTRING, cmds, ri)
-                    continue
-                # polygon(s): clip each, then union the clipped rings when
-                # merging (reference unions post-clip, pre-simplify)
-                polys = []
-                for rj in run:
-                    _, pl = geompack.unpack(bytes(geom_a[rj]))
-                    polys.extend(_clip_polygon(pl, box))
-                if len(run) > 1 and len(polys) > 1:
-                    from .kernels import polyunion
-                    polys = polyunion.union_polygons(polys)
-                cmds = _polys_to_cmds(polys, bb, tol)
-                if cmds is not None:
-                    emit(mvt.GEOM_POLYGON, cmds, ri)
+            for ri, gt, cmds, gbytes in _gen_features(cols, sel, tol, bb, box, combine):
+                emit(gt, cmds, ri, geom_bytes=gbytes)
 
         if not feats:
             return  # F9
@@ -378,26 +443,7 @@ def make_stream_encoder(cfg: Config):
                          int(ghash), len(framed)))
 
     def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = {
-            "z": pdf["z"].to_numpy(dtype=np.int64),
-            "x": pdf["x"].to_numpy(dtype=np.int64),
-            "y": pdf["y"].to_numpy(dtype=np.int64),
-            "ol": pdf["_out_layer"].to_numpy(dtype=object),
-            "layer": pdf["layer"].to_numpy(dtype=object),
-            "kind": pdf["kind"].to_numpy(dtype=np.int64),
-            "ak": pdf["_ak"].to_numpy(dtype=object),
-            "elem": pdf["elem"].to_numpy(dtype=object),
-            "oid": pdf["object_id"].to_numpy(dtype=np.int64),
-            "attrs": pdf["attrs"].to_numpy(dtype=object),
-            "geom": pdf["geom"].to_numpy(dtype=object),
-            "lon": pdf["lon"].to_numpy(dtype=np.float64, na_value=np.nan),
-            "latp": pdf["latp"].to_numpy(dtype=np.float64, na_value=np.nan),
-            "asc": pdf["as_centroid"].to_numpy(),
-            "anum": (pdf["attrs_num"].to_numpy(dtype=object)
-                     if "attrs_num" in pdf.columns else None),
-            "abool": (pdf["attrs_bool"].to_numpy(dtype=object)
-                      if "attrs_bool" in pdf.columns else None),
-        }
+        cols = _cols_from_pdf(pdf)
         n = len(pdf)
         z, x, y, ol = cols["z"], cols["x"], cols["y"], cols["ol"]
         starts = np.concatenate((
@@ -410,34 +456,200 @@ def make_stream_encoder(cfg: Config):
             _encode_run(cols, int(starts[si]), int(starts[si + 1]), out_rows)
         return pd.DataFrame(out_rows, columns=_OUT_COLS)
 
-    def encode_stream(batches):
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            n = len(pdf)
-            if n == 0:
-                continue
-            # hold the final (possibly batch-straddling) group for the
-            # next batch; flushed after the iterator drains
-            z = pdf["z"].to_numpy(dtype=np.int64)
-            x = pdf["x"].to_numpy(dtype=np.int64)
-            y = pdf["y"].to_numpy(dtype=np.int64)
-            ol = pdf["_out_layer"].to_numpy(dtype=object)
-            change = np.flatnonzero((z[1:] != z[:-1]) | (x[1:] != x[:-1])
-                                    | (y[1:] != y[:-1]) | (ol[1:] != ol[:-1])) + 1
-            last_start = int(change[-1]) if len(change) else 0
-            carry = pdf.iloc[last_start:]
-            if last_start:
-                yield _encode_batch(pdf.iloc[:last_start])
-        if carry is not None and len(carry):
-            yield _encode_batch(carry)
-
-    return encode_stream
+    return _group_stream(_encode_batch, ["z", "x", "y", "_out_layer"])
 
 
-def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
+# --------------------------------------------- salted two-stage encoder
+#
+# The skew answer for metro tiles (VERDICT r3 next #3): one
+# (tile, out_layer) group bounds the single-stage encoder's max task.
+# The finest granularity at which a group can be split WITHOUT changing
+# output bytes is the (layer, kind, _ak) class — A4 dedup identity and
+# A5 combine runs both live entirely inside one class. Stage 1 hash-
+# partitions on (tile, out_layer, layer, kind, salt(attrs)) and does all
+# heavy geometry work (unpack, clip, union, simplify, command varints)
+# per class at full parallelism; stage 2 regroups per (tile, out_layer),
+# sorts features by the A4 key, and rebuilds the per-layer dictionaries
+# and feature order — byte-identical to the single-stage path (pinned
+# by tests), but the hot group's cost in stage 2 is only string/dict
+# work bounded by the tile's OUTPUT size.
+
+FEATURE_SCHEMA = (
+    "z int, x long, y long, order_idx int, sub_idx int, kind int, "
+    "ak string, elem string, oid long, gt int, geom_bytes binary, "
+    "crc long, attrs map<string,string>, attrs_num map<string,double>, "
+    "attrs_bool map<string,boolean>")
+_FEAT_COLS = ["z", "x", "y", "order_idx", "sub_idx", "kind", "ak", "elem",
+              "oid", "gt", "geom_bytes", "crc", "attrs", "attrs_num",
+              "attrs_bool"]
+
+
+def make_feature_encoder(cfg: Config):
+    """Stage 1 mapInPandas: sorted (tile, out_layer, layer, kind, _ak)
+    segments -> one row per output feature (geometry fully encoded)."""
+    layers_cfg = cfg.layers
+    group_index = {group[0]: (i, group) for i, group in enumerate(cfg.layer_order)}
+    sub_pos = {}
+    for gi, group in enumerate(cfg.layer_order):
+        for si, sub in enumerate(group):
+            sub_pos[sub] = si
+    combine = cfg.combine_similar
+    bbox_cfg = cfg.bounding_box
+
+    def _encode_seg(cols, s, e, out_rows):
+        out_layer = cols["ol"][s]
+        gi = group_index.get(out_layer)
+        if gi is None:
+            return
+        order_idx, _group = gi
+        sub = cols["layer"][s]
+        ld = layers_cfg.get(sub)
+        if ld is None:
+            return
+        z = int(cols["z"][s])
+        if z < ld.minzoom or z > ld.maxzoom:
+            return  # F8 backstop
+        x = int(cols["x"][s])
+        y = int(cols["y"][s])
+        bb = M.TileBbox(x, y, z)
+        if bbox_cfg is not None:
+            mnl, mnla, mxl, mxla = bbox_cfg
+            if mxl <= bb.min_lon or mnl >= bb.max_lon or \
+               mxla <= bb.min_lat or mnla >= bb.max_lat:
+                return  # F7
+        box = bb.clip_box
+        elem_a, oid_a = cols["elem"], cols["oid"]
+        # A4 dedup: layer/kind/_ak are constant over the segment, so
+        # identity reduces to adjacent-equal (elem, object_id)
+        idx = np.arange(s, e)
+        if e - s > 1:
+            dup = ((elem_a[s + 1:e] == elem_a[s:e - 1])
+                   & (oid_a[s + 1:e] == oid_a[s:e - 1]))
+            idx = idx[np.concatenate(([True], ~dup))]
+        tol = ld.simplify_tolerance(z, y)
+        akv = cols["ak"][s]
+        attrs_a, anum_a, abool_a = cols["attrs"], cols["anum"], cols["abool"]
+        sub_idx = sub_pos[sub]
+        for ri, gt, cmds, gbytes in _gen_features(cols, idx, tol, bb, box, combine):
+            if gbytes is None:
+                gbytes = mvt.varint_array(cmds)
+            out_rows.append((
+                z, x, y, order_idx, sub_idx, int(cols["kind"][ri]), akv,
+                elem_a[ri], int(oid_a[ri]), int(gt), bytes(gbytes),
+                int(zlib.crc32(cmds.tobytes())), attrs_a[ri],
+                anum_a[ri] if anum_a is not None else None,
+                abool_a[ri] if abool_a is not None else None))
+
+    def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = _cols_from_pdf(pdf)
+        n = len(pdf)
+        z, x, y = cols["z"], cols["x"], cols["y"]
+        ol, layer, kind, ak = cols["ol"], cols["layer"], cols["kind"], cols["ak"]
+        starts = np.concatenate((
+            [0],
+            np.flatnonzero((z[1:] != z[:-1]) | (x[1:] != x[:-1])
+                           | (y[1:] != y[:-1]) | (ol[1:] != ol[:-1])
+                           | (layer[1:] != layer[:-1]) | (kind[1:] != kind[:-1])
+                           | (ak[1:] != ak[:-1])) + 1,
+            [n]))
+        out_rows: list = []
+        for si in range(len(starts) - 1):
+            _encode_seg(cols, int(starts[si]), int(starts[si + 1]), out_rows)
+        return pd.DataFrame(out_rows, columns=_FEAT_COLS)
+
+    return _group_stream(
+        _encode_batch, ["z", "x", "y", "_out_layer", "layer", "kind", "_ak"])
+
+
+def make_layer_assembler(cfg: Config):
+    """Stage 2 mapInPandas: per-feature rows sorted by
+    (z, x, y, order_idx, sub_idx, kind, ak, elem, oid) -> one encoded
+    layer-group row per (tile, out_layer). Pure string/dict work: tag
+    dictionaries register in feature order exactly as the single-stage
+    encoder's first-occurrence walk."""
+    include_ids = cfg.include_ids
+    mvt_version = cfg.mvt_version
+    layer_names = [group[0] for group in cfg.layer_order]
+
+    def _assemble_group(cols, s, e, out_rows):
+        z = int(cols["z"][s])
+        x = int(cols["x"][s])
+        y = int(cols["y"][s])
+        order_idx = int(cols["order_idx"][s])
+        ak_a, gt_a, gb_a, crc_a, oid_a = (cols["ak"], cols["gt"], cols["gb"],
+                                          cols["crc"], cols["oid"])
+        attrs_a, anum_a, abool_a = cols["attrs"], cols["anum"], cols["abool"]
+        dicts = mvt.LayerDicts()
+        feats = []
+        ghash = 0
+        tag_cache: dict = {}
+        for i in range(s, e):
+            akv = ak_a[i]
+            tag_idx = tag_cache.get(akv)
+            if tag_idx is None:
+                tag_idx = []
+                sattrs = attrs_a[i]
+                if sattrs:
+                    for k in sorted(sattrs):
+                        tag_idx.append(dicts.key_index(k))
+                        tag_idx.append(dicts.value_index(sattrs[k]))
+                nattrs = anum_a[i]
+                if nattrs:
+                    for k in sorted(nattrs):
+                        tag_idx.append(dicts.key_index(k))
+                        tag_idx.append(dicts.value_index(float(nattrs[k])))
+                battrs = abool_a[i]
+                if battrs:
+                    for k in sorted(battrs):
+                        tag_idx.append(dicts.key_index(k))
+                        tag_idx.append(dicts.value_index(bool(battrs[k])))
+                tag_cache[akv] = tag_idx
+            gt = int(gt_a[i])
+            feats.append(mvt.encode_feature_raw(
+                gt, bytes(gb_a[i]), tag_idx,
+                feature_id=int(oid_a[i]) if include_ids else None))
+            ghash = (ghash * 1000003 + int(crc_a[i]) + gt) & 0x7FFFFFFFFFFFFFFF
+        if not feats:
+            return  # F9
+        layer_msg = mvt.encode_layer(layer_names[order_idx], feats,
+                                     dicts.keys, dicts.values,
+                                     version=mvt_version)
+        framed = mvt.encode_tile([layer_msg])
+        out_rows.append((z, x, y, order_idx, framed, len(feats),
+                         int(ghash), len(framed)))
+
+    def _assemble_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "z": pdf["z"].to_numpy(dtype=np.int64),
+            "x": pdf["x"].to_numpy(dtype=np.int64),
+            "y": pdf["y"].to_numpy(dtype=np.int64),
+            "order_idx": pdf["order_idx"].to_numpy(dtype=np.int64),
+            "ak": pdf["ak"].to_numpy(dtype=object),
+            "gt": pdf["gt"].to_numpy(dtype=np.int64),
+            "gb": pdf["geom_bytes"].to_numpy(dtype=object),
+            "crc": pdf["crc"].to_numpy(dtype=np.int64),
+            "oid": pdf["oid"].to_numpy(dtype=np.int64),
+            "attrs": pdf["attrs"].to_numpy(dtype=object),
+            "anum": pdf["attrs_num"].to_numpy(dtype=object),
+            "abool": pdf["attrs_bool"].to_numpy(dtype=object),
+        }
+        n = len(pdf)
+        z, x, y, oi = cols["z"], cols["x"], cols["y"], cols["order_idx"]
+        starts = np.concatenate((
+            [0],
+            np.flatnonzero((z[1:] != z[:-1]) | (x[1:] != x[:-1])
+                           | (y[1:] != y[:-1]) | (oi[1:] != oi[:-1])) + 1,
+            [n]))
+        out_rows: list = []
+        for si in range(len(starts) - 1):
+            _assemble_group(cols, int(starts[si]), int(starts[si + 1]), out_rows)
+        return pd.DataFrame(out_rows, columns=_OUT_COLS)
+
+    return _group_stream(_assemble_batch, ["z", "x", "y", "order_idx"])
+
+
+def encode_zoom(assigned: DataFrame, cfg: Config,
+                salted: bool | None = None) -> DataFrame:
     """(z,x,y,...feature rows) -> (z,x,y,tile,...) in two stages:
     streaming per-(tile,output-layer) encode, then Catalyst tile assembly.
 
@@ -487,9 +699,13 @@ def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
                 .where((F.col("z") >= F.element_at(minz, F.col("layer")))
                        & (F.col("z") <= F.element_at(maxz, F.col("layer"))))
                 .withColumn("_out_layer", F.element_at(out_layer, F.col("layer"))))
-    from .session import python_stage_partitions
+    from .session import is_small_input, python_stage_partitions
 
     n_parts = python_stage_partitions(assigned.sparkSession, input_df=assigned)
+    if salted is None:
+        # the two-stage path's second (small) shuffle only pays off once
+        # one (tile, out_layer) group can dominate a task — scale mode
+        salted = not is_small_input(assigned)
     # `_ak` (array transforms + sort + string joins over the attr maps)
     # is the most expensive Catalyst expression in the plan. Computing
     # it AFTER the pinned exchange moves that CPU from the rollup's
@@ -497,12 +713,48 @@ def encode_zoom(assigned: DataFrame, cfg: Config) -> DataFrame:
     # (coalescing is blind to per-row CPU) — into the explicitly
     # fine-partitioned (cores×8) encode stage. It is not a partition
     # key, only a sort key, so placement above the repartition is free.
-    part = (eligible
-            .repartition(n_parts, F.col("z"), F.col("x"), F.col("y"), F.col("_out_layer"))
-            .withColumn("_ak", ak)
-            .sortWithinPartitions(*_SORT_COLS))
-    layer_groups = part.mapInPandas(make_stream_encoder(cfg),
-                                    schema=LAYER_GROUP_SCHEMA)
+    if salted:
+        # skew shave: hash-partition at (layer, kind, attr-class)
+        # granularity. The salt is a CHEAP canonical attr hash computed
+        # pre-exchange (sorted key/value arrays: equal maps -> equal
+        # salt, so no dedup/combine class ever splits); the expensive
+        # `_ak` string stays post-exchange per the r3 straggler fix.
+        salt_parts = [F.col("layer"), F.col("kind"),
+                      F.array_sort(F.map_keys("attrs")),
+                      F.array_sort(F.map_values("attrs"))]
+        if has_num:
+            salt_parts += [F.array_sort(F.map_keys("attrs_num")),
+                           F.array_sort(F.map_values("attrs_num"))]
+        if has_bool:
+            salt_parts += [F.array_sort(F.map_keys("attrs_bool")),
+                           F.array_sort(F.map_values("attrs_bool"))]
+        part = (eligible
+                .withColumn("_salt", F.xxhash64(*salt_parts))
+                .repartition(n_parts, F.col("z"), F.col("x"), F.col("y"),
+                             F.col("_out_layer"), F.col("layer"),
+                             F.col("kind"), F.col("_salt"))
+                .withColumn("_ak", ak)
+                .sortWithinPartitions(*_SORT_COLS))
+        feat_rows = part.mapInPandas(make_feature_encoder(cfg),
+                                     schema=FEATURE_SCHEMA)
+        # stage 2 is light (dict/string work bounded by tile OUTPUT
+        # bytes) — coarser pinned partitioning, same AQE-proof shape
+        n2 = python_stage_partitions(assigned.sparkSession, multiplier=2,
+                                     input_df=assigned)
+        layer_groups = (feat_rows
+                        .repartition(n2, "z", "x", "y", "order_idx")
+                        .sortWithinPartitions("z", "x", "y", "order_idx",
+                                              "sub_idx", "kind", "ak",
+                                              "elem", "oid")
+                        .mapInPandas(make_layer_assembler(cfg),
+                                     schema=LAYER_GROUP_SCHEMA))
+    else:
+        part = (eligible
+                .repartition(n_parts, F.col("z"), F.col("x"), F.col("y"), F.col("_out_layer"))
+                .withColumn("_ak", ak)
+                .sortWithinPartitions(*_SORT_COLS))
+        layer_groups = part.mapInPandas(make_stream_encoder(cfg),
+                                        schema=LAYER_GROUP_SCHEMA)
 
     # ---- W4 tile assembly: order layers, concat framed bytes (Catalyst)
     parts = (layer_groups.groupBy("z", "x", "y").agg(
