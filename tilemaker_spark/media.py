@@ -38,15 +38,94 @@ except ImportError:
 HAVE_CODECS = _PILImage is not None
 
 
+# ---------------------------------------- real decode: BMP / PPM / PIL
+# Uncompressed 24-bit BMP and binary PPM (P6) are struct-parseable in
+# pure Python/numpy, so the decode path runs FOR REAL in a codec-less
+# container; JPEG/PNG and multi-frame formats stay behind the PIL seam.
+
+def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic 24-bit uncompressed BMP fixture: pixel byte j of
+    the unpadded bottom-up stream has value (seed + j) % 256, so
+    width/height/pixel_sum are closed-form in (width, height, seed)."""
+    import struct
+
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    img_size = stride * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      img_size, 2835, 2835, 0, 0)
+    vals = ((seed + np.arange(height * row_bytes, dtype=np.int64)) % 256).astype(np.uint8)
+    if pad:
+        padded = np.zeros((height, stride), dtype=np.uint8)
+        padded[:, :row_bytes] = vals.reshape(height, row_bytes)
+        data = padded.tobytes()
+    else:
+        data = vals.tobytes()
+    return header + dib + data
+
+
+def decode_bmp(buf: bytes):
+    """Parse a BI_RGB 24-bit BMP -> (width, height, pixel_sum). The sum
+    covers pixel bytes only (row padding excluded)."""
+    import struct
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack_from("<I", buf, 10)
+    _dib, width, height, _planes, bpp = struct.unpack_from("<IiiHH", buf, 14)
+    (comp,) = struct.unpack_from("<I", buf, 30)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only BI_RGB 24-bit BMP supported (bpp={bpp})")
+    h = abs(height)
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    arr = np.frombuffer(buf, dtype=np.uint8, count=stride * h,
+                        offset=offset).reshape(h, stride)
+    return int(width), h, int(arr[:, :row_bytes].sum(dtype=np.int64))
+
+
+def decode_ppm(buf: bytes):
+    """Parse a binary PPM (P6) -> (width, height, pixel_sum)."""
+    i = 0
+    toks = []
+    while len(toks) < 4:
+        while buf[i:i + 1].isspace():
+            i += 1
+        if buf[i:i + 1] == b"#":
+            while buf[i:i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j:j + 1].isspace():
+            j += 1
+        toks.append(buf[i:j])
+        i = j
+    if toks[0] != b"P6":
+        raise ValueError("not a P6 PPM")
+    w, h = int(toks[1]), int(toks[2])
+    data = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=i + 1)
+    return w, h, int(data.sum(dtype=np.int64))
+
+
 def decode_real(payload: bytes):
-    """Real image decode seam: uses Pillow when available (returns
-    (kind, width, height, n_frames, checksum) like _fake_meta), raises
-    NotImplementedError otherwise so callers can fall back to the
-    deterministic fake path."""
+    """Real image decode: pure-struct BMP/PPM arms (run in ANY
+    environment, returning the decoded pixel sum as the checksum), PIL
+    for JPEG/PNG-class formats when available (header checksum, as
+    pixel access is codec-owned there), NotImplementedError otherwise
+    so callers can fall back to the deterministic fake path."""
+    if payload[:2] == b"BM":
+        w, h, psum = decode_bmp(payload)
+        return "image", w, h, 1, psum
+    if payload[:2] == b"P6":
+        w, h, psum = decode_ppm(payload)
+        return "image", w, h, 1, psum
     if _PILImage is None:
         raise NotImplementedError(
-            "media decoding requires PIL/ffmpeg-class libraries; "
-            "use extract_media_features (deterministic fake) in this environment")
+            "JPEG/PNG decoding requires PIL/ffmpeg-class libraries; "
+            "BMP/PPM decode is built in; use extract_media_features "
+            "(deterministic fake) for other formats in this environment")
     import io
 
     with _PILImage.open(io.BytesIO(payload)) as im:
@@ -56,6 +135,43 @@ def decode_real(payload: bytes):
         for b in payload[:16]:
             checksum = (checksum * 131 + b) % 1000000007
         return "image", int(width), int(height), n_frames, checksum
+
+
+def with_real_media_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic BMP payloads, decodable for real in this container:
+    width = 4*(1 + doc_id%16) (multiple of 4 -> padless rows),
+    height = 1 + (doc_id//16)%16, seed = doc_id%256 — all closed-form in
+    doc_id so a SQL oracle re-derives width/height/pixel_sum exactly."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads = [encode_bmp(int(4 * (1 + d % 16)),
+                                   int(1 + (d // 16) % 16),
+                                   int(d % 256)) for d in ids]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+REAL_MEDIA_SCHEMA = ("doc_id long, n_bytes int, kind string, width int, "
+                     "height int, n_frames int, pixel_sum long")
+
+
+def extract_media_features_real(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL decode (BMP/PPM struct parse, PIL seam) — same
+    executor-side plumbing as extract_media_features, but the metadata
+    comes from the decoded image, not the fake header."""
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                kind, w, h, nf, psum = decode_real(buf)
+                rows.append((int(doc_id), len(buf), kind, w, h, nf, int(psum)))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "kind", "width",
+                                              "height", "n_frames", "pixel_sum"])
+
+    return media.mapInPandas(extract, schema=REAL_MEDIA_SCHEMA)
 
 
 def _fake_meta(buf: bytes):

@@ -24,10 +24,19 @@ def q_media_resize(spark, sf_dir):
     return media.resize_stub(q_media_features(spark, sf_dir))
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL decode: deterministic BMP payloads generated executor-side,
+    struct-parsed back (width/height/pixel-sum) — no codec libraries
+    needed, so this runs the actual decode path in any environment."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return media.extract_media_features_real(media.with_real_media_payload(docs))
+
+
 QUERIES = {
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
     "media_resize": q_media_resize,
+    "media_decode": q_media_decode,
 }
 
 
@@ -68,5 +77,30 @@ SELECT doc_id, width, height,
   CASE WHEN greatest(width, height) <= 128 THEN height
        ELSE CAST(floor(height * 128.0 / greatest(width, height)) AS INT) END AS out_h
 FROM m
+""",
+    # real BMP decode: the engine's pixel bytes are (seed + j) % 256 over
+    # j in [0, w*h*3), so pixel_sum = F(seed + nb) - F(seed) with
+    # F(m) = 32640*(m//256) + r*(r-1)/2, r = m%256 (sum of i%256, i<m)
+    "media_decode": """
+WITH p AS (
+  SELECT doc_id,
+    4 * (1 + doc_id % 16) AS w,
+    1 + (doc_id // 16) % 16 AS h,
+    doc_id % 256 AS seed
+  FROM documents
+), q AS (
+  SELECT doc_id, w, h, seed, w * h * 3 AS nb FROM p
+)
+SELECT doc_id,
+  CAST(54 + nb AS INT) AS n_bytes,
+  'image' AS kind,
+  CAST(w AS INT) AS width,
+  CAST(h AS INT) AS height,
+  1 AS n_frames,
+  CAST((32640 * ((seed + nb) // 256)
+        + ((seed + nb) % 256) * (((seed + nb) % 256) - 1) // 2)
+       - (32640 * (seed // 256) + (seed % 256) * ((seed % 256) - 1) // 2)
+       AS BIGINT) AS pixel_sum
+FROM q
 """,
 }
