@@ -646,3 +646,133 @@ def test_knn_sparse_fallback_exact(spark):
                     for pid, pl, pp in p_pts)
         for rank in (1, 2, 3):
             assert got[(qid, rank)] == d2[rank - 1][1]
+
+
+# --------------------------------------- lineunion adversarial property
+
+def _brute_support(x0, y0, x1, y1):
+    """Independent support id for the infinite integer line through two
+    lattice points: normalized (a, b, c) of a*x + b*y = c via gcd/sign
+    (differs structurally from the kernel's reduced-direction key)."""
+    from math import gcd
+
+    a = y1 - y0
+    b = x0 - x1
+    c = a * x0 + b * y0
+    g = gcd(gcd(abs(a), abs(b)), abs(c)) or 1
+    a, b, c = a // g, b // g, c // g
+    if a < 0 or (a == 0 and b < 0):
+        a, b, c = -a, -b, -c
+    return (a, b, c)
+
+
+def _brute_param(key, x, y):
+    """Monotone integer parameter along support ``key``: x where the
+    line isn't vertical, else y (both exact for lattice points)."""
+    a, _b, _c = key
+    return y if a != 0 else x
+
+
+def _merge(intervals):
+    """Sorted merge of [lo, hi] intervals (touching intervals join)."""
+    out = []
+    for lo, hi in sorted(intervals):
+        if out and lo <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return [tuple(iv) for iv in out]
+
+
+def _segments_of_parts(parts):
+    """Decompose (xs, ys) polylines into nonzero elementary segments."""
+    for xs, ys in parts:
+        for i in range(len(xs) - 1):
+            x0, y0, x1, y1 = int(xs[i]), int(ys[i]), int(xs[i + 1]), int(ys[i + 1])
+            if (x0, y0) != (x1, y1):
+                yield x0, y0, x1, y1
+
+
+def _coverage(parts):
+    """support key -> merged interval list covered by ``parts``."""
+    by_key = {}
+    for x0, y0, x1, y1 in _segments_of_parts(parts):
+        key = _brute_support(x0, y0, x1, y1)
+        ta = _brute_param(key, x0, y0)
+        tb = _brute_param(key, x1, y1)
+        by_key.setdefault(key, []).append((min(ta, tb), max(ta, tb)))
+    return {k: _merge(v) for k, v in by_key.items()}
+
+
+def _random_soup(rng):
+    """Adversarial integer polyline soup: a handful of shared supports
+    carrying many overlapping / touching / duplicated / reversed
+    segments, mixed with general-position noise and multi-vertex parts
+    that hop between supports."""
+    dirs = [(1, 0), (0, 1), (1, 1), (2, 1), (1, -3), (3, 2)]
+    supports = []
+    for _ in range(rng.integers(2, 5)):
+        dx, dy = dirs[rng.integers(0, len(dirs))]
+        ox, oy = int(rng.integers(-20, 21)), int(rng.integers(-20, 21))
+        supports.append((dx, dy, ox, oy))
+    parts = []
+    for _ in range(rng.integers(2, 12)):
+        if rng.random() < 0.75 and supports:
+            dx, dy, ox, oy = supports[rng.integers(0, len(supports))]
+            k0 = int(rng.integers(-15, 16))
+            k1 = int(k0 + rng.integers(-12, 13))
+            if k0 == k1:
+                k1 = k0 + 1
+            pts = [(ox + k0 * dx, oy + k0 * dy), (ox + k1 * dx, oy + k1 * dy)]
+            if rng.random() < 0.3:   # extend into a multi-vertex chain
+                k2 = int(k1 + rng.integers(1, 8) * (1 if k1 >= k0 else -1))
+                pts.append((ox + k2 * dx, oy + k2 * dy))
+            if rng.random() < 0.2:   # hop off-support (mixed-support part)
+                pts.append((pts[-1][0] + int(rng.integers(1, 5)),
+                            pts[-1][1] + int(rng.integers(2, 6))))
+        else:
+            pts = [(int(rng.integers(-40, 41)), int(rng.integers(-40, 41)))
+                   for _ in range(int(rng.integers(2, 5)))]
+        if rng.random() < 0.25:
+            pts = pts[::-1]          # reversed orientation duplicates
+        parts.append((np.array([p[0] for p in pts], dtype=np.int64),
+                      np.array([p[1] for p in pts], dtype=np.int64)))
+    if parts and rng.random() < 0.4:  # exact duplicate of an earlier part
+        i = int(rng.integers(0, len(parts)))
+        parts.append(parts[i])
+    return parts
+
+
+def test_lineunion_random_soups_vs_interval_oracle():
+    """200 seeded adversarial soups: the union must cover EXACTLY the
+    input's per-support interval union (nothing lost, nothing invented),
+    emit every portion at most once (interior-disjoint output), and keep
+    all output vertices on exact lattice points of their support."""
+    from tilemaker_spark.kernels.lineunion import union_line_parts
+
+    rng = np.random.default_rng(20260818)
+    for case in range(200):
+        parts = _random_soup(rng)
+        out = union_line_parts(parts)
+
+        # 1) coverage equality per support (brute merged-interval oracle)
+        assert _coverage(out) == _coverage(parts), f"case {case}"
+
+        # 2) interior-disjoint: per support, output intervals overlap at
+        #    most at endpoints (sum of lengths == length of merged union)
+        by_key = {}
+        for x0, y0, x1, y1 in _segments_of_parts(out):
+            key = _brute_support(x0, y0, x1, y1)
+            ta = _brute_param(key, x0, y0)
+            tb = _brute_param(key, x1, y1)
+            by_key.setdefault(key, []).append((min(ta, tb), max(ta, tb)))
+        for key, ivs in by_key.items():
+            total = sum(hi - lo for lo, hi in ivs)
+            merged = sum(hi - lo for lo, hi in _merge(ivs))
+            assert total == merged, f"case {case}: double-covered {key}"
+
+        # 3) exactness: every output vertex satisfies its segment's
+        #    support equation in integer arithmetic
+        for x0, y0, x1, y1 in _segments_of_parts(out):
+            a, b, c = _brute_support(x0, y0, x1, y1)
+            assert a * x0 + b * y0 == c and a * x1 + b * y1 == c
