@@ -255,3 +255,52 @@ def test_salted_encode_byte_identical(spark, docs):
     diff = [k for k in a if a[k] != b[k]]
     assert not diff, f"{len(diff)} tiles differ, e.g. {diff[:5]}"
     assert len(a) > 100  # non-trivial corpus
+
+
+def test_bounding_box_coord_parity(spark, docs):
+    """F7 over the emitted COORD set: with a bounding_box whose edges
+    sit exactly on z14 tile boundaries, encode_zoom must emit exactly
+    the tiles whose scalar TileBbox STRICTLY overlaps the box (tiles
+    merely touching the edge are excluded), at every zoom — the
+    vectorized coord filter must match the per-group scalar float path
+    bit for bit."""
+    from tilemaker_spark import pipeline, tileassign
+    from tilemaker_spark import geocode
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.encode import encode_zoom
+    from tilemaker_spark.kernels import mercator as M
+
+    features = pipeline.build_features(*geocode.geocode(docs))
+    assigned = tileassign.assign_base_tiles(features, 14)
+    rolled = tileassign.rollup_all_zooms(assigned, [14, 12, 6], 14)
+
+    base = {(r["z"], r["x"], r["y"]) for r in
+            encode_zoom(rolled, default_config())
+            .select("z", "x", "y").collect()}
+    xs14 = sorted(x for z, x, y in base if z == 14)
+    ys14 = sorted(y for z, x, y in base if z == 14)
+    assert len(xs14) >= 4, "fixture too small for a cutting bbox"
+    # bbox edges EXACTLY on tile boundaries: the interquartile tile
+    # range in x, full-ish range in y (y bounds via latitude)
+    x_lo, x_hi = xs14[len(xs14) // 4], xs14[3 * len(xs14) // 4]
+    y_lo, y_hi = ys14[len(ys14) // 4], ys14[3 * len(ys14) // 4]
+    mnl = float(M.tilex2lon(x_lo, 14))
+    mxl = float(M.tilex2lon(x_hi + 1, 14))
+    mxla = float(M.tiley2lat(y_lo, 14))      # top edge of tile y_lo
+    mnla = float(M.tiley2lat(y_hi + 1, 14))  # bottom edge of tile y_hi
+
+    cfg = default_config()
+    cfg.bounding_box = [mnl, mnla, mxl, mxla]
+    got = {(r["z"], r["x"], r["y"]) for r in
+           encode_zoom(rolled, cfg).select("z", "x", "y").collect()}
+
+    exp = set()
+    for z, x, y in base:
+        bb = M.TileBbox(int(x), int(y), int(z))
+        if not (mxl <= bb.min_lon or mnl >= bb.max_lon
+                or mxla <= bb.min_lat or mnla >= bb.max_lat):
+            exp.add((z, x, y))
+    assert got == exp
+    assert got < base                       # the box genuinely cuts
+    # touching-only neighbours on the exact boundary are excluded
+    assert all(x_lo <= x <= x_hi for z, x, y in got if z == 14)

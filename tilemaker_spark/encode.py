@@ -822,12 +822,18 @@ def encode_zoom(assigned: DataFrame, cfg: Config,
 
         @pandas_udf(BooleanType())
         def overlaps(z_s: pd.Series, x_s: pd.Series, y_s: pd.Series) -> pd.Series:
-            out = []
-            for zz, xx, yy in zip(z_s, x_s, y_s):
-                bb = M.TileBbox(int(xx), int(yy), int(zz))
-                out.append(not (mxl <= bb.min_lon or mnl >= bb.max_lon
-                                or mxla <= bb.min_lat or mnla >= bb.max_lat))
-            return pd.Series(out)
+            # vectorized TileBbox edges — np.ldexp/arctan elementwise ops
+            # are the exact float path the scalar TileBbox takes
+            z = z_s.to_numpy(dtype=np.int64)
+            x = x_s.to_numpy(dtype=np.float64)
+            y = y_s.to_numpy(dtype=np.float64)
+            min_lon = np.ldexp(x, -z) * 360.0 - 180.0
+            max_lon = np.ldexp(x + 1.0, -z) * 360.0 - 180.0
+            max_lat = M.latp2lat(180.0 - np.ldexp(y, -z) * 360.0)
+            min_lat = M.latp2lat(180.0 - np.ldexp(y + 1.0, -z) * 360.0)
+            keep = ~((mxl <= min_lon) | (mnl >= max_lon)
+                     | (mxla <= min_lat) | (mnla >= max_lat))
+            return pd.Series(keep)
 
         coords = coords.where(cond).where(overlaps("z", "x", "y"))
     return (coords.join(tiles, ["z", "x", "y"], "left")
