@@ -35,6 +35,7 @@ AttributeNumeric/AttributeBoolean (src/osm_lua_processing.cpp:335-356).
 
 from __future__ import annotations
 
+import os
 import zlib
 
 import numpy as np
@@ -699,13 +700,29 @@ def encode_zoom(assigned: DataFrame, cfg: Config,
                 .where((F.col("z") >= F.element_at(minz, F.col("layer")))
                        & (F.col("z") <= F.element_at(maxz, F.col("layer"))))
                 .withColumn("_out_layer", F.element_at(out_layer, F.col("layer"))))
-    from .session import is_small_input, python_stage_partitions
+    from .session import python_stage_partitions
 
     n_parts = python_stage_partitions(assigned.sparkSession, input_df=assigned)
     if salted is None:
-        # the two-stage path's second (small) shuffle only pays off once
-        # one (tile, out_layer) group can dominate a task — scale mode
-        salted = not is_small_input(assigned)
+        # Operator override for cluster tuning (SPARK_GRAFT_SALTED=1
+        # forces the two-stage skew shave, =0 forces single-stage).
+        env = os.environ.get("SPARK_GRAFT_SALTED", "").strip().lower()
+        if env in ("1", "true", "on"):
+            salted = True
+        elif env in ("0", "false", "off"):
+            salted = False
+        else:
+            # Default OFF, measured: the two-stage path re-shuffles
+            # every encoded feature (geom bytes + attr maps) to shave a
+            # max-task ≈ 4× mean skew tail, and that trade LOSES on the
+            # ×256 metro-skew workload at both measured parallelism
+            # levels (8c: 270.4 → 180.7 s; 32c: 128.0 → 102.1 s
+            # unsalted, min-of-N same-session A/B, bench_runs/r4_ab*).
+            # It pays only when one (tile, out_layer) group exceeds a
+            # core's share of the whole stage — planetary-grade skew —
+            # which an operator asserts via the env/param, not a
+            # heuristic this box cannot validate.
+            salted = False
     # `_ak` (array transforms + sort + string joins over the attr maps)
     # is the most expensive Catalyst expression in the plan. Computing
     # it AFTER the pinned exchange moves that CPU from the rollup's
