@@ -65,7 +65,20 @@ def doc_num_col(df: DataFrame) -> Column:
 
 
 def _h(d: Column) -> Column:
-    return (d * F.lit(MUL)) % F.lit(M32)
+    """(d * MUL) mod 2^32 without int64 overflow at planetary ids.
+
+    The naive product overflows a signed long once d ≥ 2^63/MUL ≈
+    3.47e9 — under the north rule's 10^12-document table that is every
+    doc beyond the first 0.35%. Reduce mod 2^32 first, then split the
+    multiplicand into 16-bit halves so every intermediate stays below
+    2^49; the result is bit-identical to the ideal d*MUL mod 2^32 for
+    ALL longs (and therefore to the old expression wherever it didn't
+    overflow — every committed golden/oracle value is unchanged)."""
+    a = d % F.lit(M32)
+    hi = F.floor(a / F.lit(65536))
+    lo = a % F.lit(65536)
+    return (((hi * F.lit(MUL)) % F.lit(65536)) * F.lit(65536)
+            + lo * F.lit(MUL)) % F.lit(M32)
 
 
 def _hk(h: Column, k: Column) -> Column:
