@@ -169,17 +169,19 @@ def test_media_decode_real_seam():
     assert (kind, w, h, nf) == ("image", 8, 3, 1)
     assert psum == sum((i * 7 + 1) % 256 for i in range(72))
 
-    if not media.HAVE_CODECS:
-        with pytest.raises(NotImplementedError):
-            media.decode_real(b"\x89PNG\r\n\x1a\n")
-        return  # PIL seam stays documented; BMP/PPM arms proven above
-    # minimal 1x1 PNG
+    # PNG arm: native (pure zlib+numpy) — decodes regardless of PIL.
+    # minimal 1x1 PNG (third-party bytes, not our encoder's output)
     import base64
     png = base64.b64decode(
         b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGNgYGBg"
         b"AAAABQABXvMqOgAAAABJRU5ErkJggg==")
     kind, w, h, nf, cs = media.decode_real(png)
     assert (kind, w, h, nf) == ("image", 1, 1, 1)
+
+    if not media.HAVE_CODECS:
+        # only codec-owned formats (JPEG, ...) remain behind the PIL seam
+        with pytest.raises(NotImplementedError):
+            media.decode_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 def test_stream_group_exchanges_pinned(spark, docs):
@@ -304,3 +306,68 @@ def test_bounding_box_coord_parity(spark, docs):
     assert got < base                       # the box genuinely cuts
     # touching-only neighbours on the exact boundary are excluded
     assert all(x_lo <= x <= x_hi for z, x, y in got if z == 14)
+
+
+def test_geocode_hash_overflow(spark):
+    """Planetary-id regression (commit a0a1359): geocode._h must equal
+    (d*MUL) % 2^32 across the int64-overflow boundary d >= 2^63/MUL
+    ≈ 3.47e9 (ANSI mode aborts the naive product there), and the DuckDB
+    oracle's _H_SQL mirror must agree at the same ids."""
+    import duckdb
+
+    from tilemaker_spark import geocode
+    from tilemaker_spark.queries_core import _H_SQL
+
+    ids = [0, 1, 12345, 3_400_000_000, 3_470_000_000, 5_100_000_000,
+           2 ** 40 + 13, 2 ** 62, 2 ** 63 - 1]
+    want = {d: (d * geocode.MUL) % 2 ** 32 for d in ids}
+
+    df = spark.createDataFrame([(d,) for d in ids], "doc_id long")
+    got = {r["d"]: r["h"] for r in df.select(
+        F.col("doc_id").alias("d"),
+        geocode._h(F.col("doc_id")).alias("h")).collect()}
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(d,) for d in ids])
+    rows = con.execute(
+        f"SELECT doc_id, {_H_SQL.format(d='doc_id')} FROM t").fetchall()
+    assert {d: h for d, h in rows} == want
+
+
+def test_png_decode_roundtrip_and_thirdparty():
+    """PNG arm: decode(encode) matches the closed-form pixel sum across
+    sizes/seeds (all five filter types exercised when h >= 5), and
+    genuine third-party PNGs (not produced by our writer) parse with
+    sane dimensions; palette/unsupported depths fail loudly."""
+    from tilemaker_spark import media
+
+    def closed(seed, nb):
+        f = lambda m: 32640 * (m // 256) + (m % 256) * ((m % 256) - 1) // 2
+        return f(seed + nb) - f(seed)
+
+    for w in (1, 3, 13, 16):
+        for h in (1, 5, 12):
+            for seed in (0, 77, 255):
+                got = media.decode_png(media.encode_png(w, h, seed))
+                assert got == (w, h, closed(seed, w * h * 3))
+
+    thirdparty = {
+        "/usr/share/doc/python3/_static/file.png": (16, 16),
+        "/usr/share/doc/python3/_static/minus.png": (11, 11),
+        "/usr/share/doc/python3/_static/plus.png": (11, 11),
+        "/usr/share/gitweb/static/git-logo.png": (72, 27),  # palette
+    }
+    seen = 0
+    for path, (w, h) in thirdparty.items():
+        if not os.path.exists(path):
+            continue
+        gw, gh, psum = media.decode_png(open(path, "rb").read())
+        assert (gw, gh) == (w, h), path
+        assert psum > 0, path
+        seen += 1
+    assert seen >= 1  # container ships at least the python docs statics
+
+    with pytest.raises(ValueError):
+        media.decode_png(b"nope")

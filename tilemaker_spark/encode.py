@@ -711,6 +711,12 @@ def encode_zoom(assigned: DataFrame, cfg: Config,
             salted = True
         elif env in ("0", "false", "off"):
             salted = False
+        elif env:
+            # a set-but-unrecognized value must not silently fall through
+            # to the default — the operator believes they forced a path
+            raise ValueError(
+                f"SPARK_GRAFT_SALTED={env!r} not recognized; "
+                "use 1/true/on or 0/false/off (unset = measured default)")
         else:
             # Default OFF, measured: the two-stage path re-shuffles
             # every encoded feature (geom bytes + attr maps) to shave a

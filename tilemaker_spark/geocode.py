@@ -72,8 +72,13 @@ def _h(d: Column) -> Column:
     doc beyond the first 0.35%. Reduce mod 2^32 first, then split the
     multiplicand into 16-bit halves so every intermediate stays below
     2^49; the result is bit-identical to the ideal d*MUL mod 2^32 for
-    ALL longs (and therefore to the old expression wherever it didn't
-    overflow — every committed golden/oracle value is unchanged)."""
+    all NONNEGATIVE longs — doc ids by contract (for negative d the
+    truncated-% decomposition a != hi*65536 + lo breaks) — and
+    therefore to the old expression wherever it didn't overflow: every
+    committed golden/oracle value is unchanged. The DuckDB oracle
+    (queries_core._H_SQL) mirrors this split form, so query/oracle
+    pairs stay comparable at planetary ids. Regression coverage across
+    the overflow boundary: tests/test_pipeline.py::test_geocode_hash_overflow."""
     a = d % F.lit(M32)
     hi = F.floor(a / F.lit(65536))
     lo = a % F.lit(65536)

@@ -2,11 +2,14 @@
 
 Image/audio/video payloads are carried as plain BINARY columns with a
 STRUCT metadata column; decode / feature-extract / resize /
-frame-sample run as Arrow-batched pandas UDFs over mapInPandas. The
-image/audio codecs aren't available in this container, so the real
-decoders are STUBS (NotImplementedError) behind `decode_real`; the
-deterministic fake decoder keeps the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — real and tested.
+frame-sample run as Arrow-batched pandas UDFs over mapInPandas.
+`decode_real` decodes uncompressed 24-bit BMP, binary PPM (P6), and
+8-bit PNG (stdlib-zlib inflate + numpy filter reconstruction) FOR REAL
+in this codec-less container — driver-verified against closed-form
+pixel-sum oracles (media_decode / media_decode_png). JPEG and
+multi-frame formats sit behind the PIL import seam (absent here); the
+deterministic fake decoder keeps that plumbing — schema, partitioning,
+UDF signature, batch shape — real and tested.
 
 At 100 TB the shape matters: payloads stay columnar (never exploded),
 metadata extraction is a single mapInPandas pass, and frame sampling
@@ -109,6 +112,149 @@ def decode_ppm(buf: bytes):
     return w, h, int(data.sum(dtype=np.int64))
 
 
+# ---- PNG: pure-Python critical path (IHDR/IDAT/IEND, stdlib zlib
+# inflate, per-row filter reconstruction in numpy). No codec library:
+# the PNG spec's five filter types are plain byte arithmetic.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # gray, RGB, palette, gray+A, RGBA
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _z.crc32(tag + body)))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PaethPredictor over int16 arrays (PNG spec §6.6)."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic 8-bit RGB PNG fixture: raw pixel byte j of the
+    top-down unfiltered stream is (seed + j) % 256 — same closed form
+    as encode_bmp — with row r filtered by type r % 5, so decoding
+    exercises every filter reconstruction (None/Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib as _z
+
+    bpp = 3
+    rb = width * bpp
+    raw = ((seed + np.arange(height * rb, dtype=np.int64)) % 256) \
+        .astype(np.uint8).reshape(height, rb)
+    out = bytearray()
+    prev = np.zeros(rb, dtype=np.uint8)
+    for r in range(height):
+        row = raw[r]
+        ft = r % 5
+        left = np.concatenate([np.zeros(bpp, dtype=np.uint8), row[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.uint8), prev[:-bpp]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - ((left.astype(np.int16) + prev.astype(np.int16)) // 2).astype(np.uint8)
+        else:
+            filt = row - _paeth(left, prev, ul)
+        out.append(ft)
+        out.extend(filt.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(buf: bytes):
+    """Parse an 8-bit gray/RGB/RGBA PNG -> (width, height, pixel_sum):
+    chunk walk, zlib inflate of the concatenated IDAT stream, then
+    filter-type reconstruction per scanline (PNG spec §6; the left/
+    up/average/Paeth predictors use RECONSTRUCTED neighbor bytes)."""
+    import struct
+    import zlib as _z
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i = 8
+    width = height = bitdepth = colortype = None
+    idat = bytearray()
+    palette = None
+    while i < len(buf):
+        (ln,) = struct.unpack_from(">I", buf, i)
+        tag = buf[i + 4:i + 8]
+        body = buf[i + 8:i + 8 + ln]
+        i += 12 + ln
+        if tag == b"PLTE":
+            # per-entry r+g+b sums: palette pixels contribute their RGB
+            palette = np.frombuffer(body, dtype=np.uint8) \
+                .reshape(-1, 3).sum(axis=1, dtype=np.int64)
+        elif tag == b"IHDR":
+            width, height, bitdepth, colortype, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if bitdepth != 8 or colortype not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"only 8-bit gray/RGB/palette/RGBA PNG supported "
+                    f"(depth={bitdepth}, color={colortype})")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    bpp = _PNG_CHANNELS[colortype]
+    rb = width * bpp
+    stream = np.frombuffer(_z.decompress(bytes(idat)), dtype=np.uint8)
+    if len(stream) != height * (rb + 1):
+        raise ValueError("PNG stream length mismatch")
+    stream = stream.reshape(height, rb + 1)
+    prev = np.zeros(rb, dtype=np.uint8)
+    total = 0
+    for r in range(height):
+        ft = int(stream[r, 0])
+        row = stream[r, 1:].copy()
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up — vectorized (no left dependency)
+            row += prev
+        elif ft in (1, 3, 4):  # left-dependent: sequential per byte
+            for j in range(rb):
+                a = int(row[j - bpp]) if j >= bpp else 0
+                b = int(prev[j])
+                c = int(prev[j - bpp]) if j >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (int(row[j]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        if colortype == 3:
+            if palette is None:
+                raise ValueError("palette PNG missing PLTE")
+            total += int(palette[row].sum(dtype=np.int64))
+        else:
+            total += int(row.sum(dtype=np.int64))
+        prev = row
+    return int(width), int(height), total
+
+
 def decode_real(payload: bytes):
     """Real image decode: pure-struct BMP/PPM arms (run in ANY
     environment, returning the decoded pixel sum as the checksum), PIL
@@ -121,10 +267,13 @@ def decode_real(payload: bytes):
     if payload[:2] == b"P6":
         w, h, psum = decode_ppm(payload)
         return "image", w, h, 1, psum
+    if payload[:8] == _PNG_SIG:
+        w, h, psum = decode_png(payload)
+        return "image", w, h, 1, psum
     if _PILImage is None:
         raise NotImplementedError(
-            "JPEG/PNG decoding requires PIL/ffmpeg-class libraries; "
-            "BMP/PPM decode is built in; use extract_media_features "
+            "JPEG decoding requires PIL/ffmpeg-class libraries; "
+            "BMP/PPM/PNG decode is built in; use extract_media_features "
             "(deterministic fake) for other formats in this environment")
     import io
 
@@ -147,6 +296,23 @@ def with_real_media_payload(docs: DataFrame) -> DataFrame:
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             payloads = [encode_bmp(int(4 * (1 + d % 16)),
                                    int(1 + (d // 16) % 16),
+                                   int(d % 256)) for d in ids]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def with_png_media_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG payloads (a COMPRESSED format decoded for real
+    in this container): width = 3 + doc_id%13, height = 1 + (doc_id//13)%12,
+    seed = doc_id%256 — raw pixel bytes are (seed+j)%256, so pixel_sum
+    stays closed-form in doc_id while the wire bytes go through zlib and
+    all five PNG filter types (row r uses filter r%5)."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads = [encode_png(int(3 + d % 13),
+                                   int(1 + (d // 13) % 12),
                                    int(d % 256)) for d in ids]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 

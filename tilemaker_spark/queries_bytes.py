@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import classify, geocode, tileassign
-from .queries_core import GEOCODE_CTE, _XF, _YF, load_docs
+from .queries_core import GEOCODE_CTE, _H_SQL, _XF, _YF, load_docs
 
 LINE_LAYERS = ("transportation", "waterway")
 POLY_LAYERS = ("building", "water", "landcover")
@@ -192,10 +192,11 @@ def _wire_decoder(layer_names, want_gt: int):
 
 # --------------------------------------------- independent expected stream
 
-def _expected_stats(assigned: DataFrame, gt: int) -> DataFrame:
+def _expected_stats(assigned: DataFrame, gt: int, tol: float = 0.0) -> DataFrame:
     """Per-(feature, z14-tile) expected command-stream CRC + wholly-in
     flag, re-derived from RAW packed coords through the clip/scale/delta
-    kernels (NOT the streaming encoder)."""
+    kernels (NOT the streaming encoder). ``tol`` is the active
+    Douglas-Peucker tolerance (0.0 = simplify inactive)."""
     from . import encode as E
     from .kernels import geompack, mercator as M
 
@@ -212,10 +213,10 @@ def _expected_stats(assigned: DataFrame, gt: int) -> DataFrame:
                 box = bb.clip_box
                 _gk, payload = geompack.unpack(bytes(buf))
                 if gt == 2:
-                    cmds = E._line_to_cmds(payload, box, bb, 0.0)
+                    cmds = E._line_to_cmds(payload, box, bb, tol)
                     rings = payload
                 else:
-                    cmds = E._polys_to_cmds(E._clip_polygon(payload, box), bb, 0.0)
+                    cmds = E._polys_to_cmds(E._clip_polygon(payload, box), bb, tol)
                     rings = [r for poly in payload for r in poly]
                 if cmds is None:
                     continue
@@ -280,9 +281,119 @@ def q_tile_bytes_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tile_bytes_query(spark, sf_dir, POLY_LAYERS, POLY_OUT_LAYERS, 3)
 
 
+# ------------------------------------------------- ACTIVE simplify (G10)
+# The tile_bytes_lines/polys rows run at z14 where the default config's
+# simplify_below=13 makes tol = 0 — Douglas-Peucker never fires on a
+# driver-green path. This query drives the REAL pipeline (classify ->
+# assemble -> DDA assign -> streaming encode) with a config whose layer
+# has simplify_below=15, so z14 encodes with an ACTIVE tolerance
+# tol = simplify_level * ratio^((below-1)-z) = 0.0003 * 2^0
+# (reference: src/tile_worker.cpp:167-176, src/write_geometry.cpp:23-28),
+# over constructed "tent" probes whose DP outcome is closed-form:
+#
+#   v0=(x0, y0)  v1=(x0+4000, y0+amp)  v2=(x0+8000, y0)   (1e-7 deg units)
+#
+# DP keeps endpoints always and v1 iff its perpendicular distance to the
+# v0-v2 chord — exactly amp, the chord being horizontal — exceeds tol.
+# amp is doc-seeded to (h % 6)*1200 ∈ {0..6000}: never equal to
+# tol=3000 and always ≥20% away from it, so float noise (~1e-11
+# relative) can never flip a keep/drop. The oracle predicts surviving
+# vertex counts and their pixel-x sums exactly: 3 (and px(v1) counted)
+# iff amp > 3000, else 2.
+
+SIMPLIFY_TOL_UNITS = 3000   # 0.0003 deg * 1e7 * ratio^((15-1)-14)
+
+_SIMPLIFY_CFG_JSON = """{
+  "layers": { "transportation": { "minzoom": 14, "maxzoom": 14,
+              "simplify_below": 15, "simplify_level": 0.0003 } },
+  "settings": { "basezoom": 14, "minzoom": 14, "maxzoom": 14,
+                "compress": true, "combine": false, "name": "simplify_probe" }
+}"""
+
+
+def _probe_stores(docs: DataFrame):
+    """Deterministic tent-probe stores (one 3-vertex line way per doc),
+    shaped exactly like geocode's (nodes, ways, relations)."""
+    d = geocode.doc_num_col(docs)
+    base = docs.select(d.alias("d"), geocode._h(d).alias("h"))
+    # latp0 keys off the h2 rehash (geocode's decorrelation trick) —
+    # h//16 and h//32 are bit-correlated and would smear the probes
+    # along one diagonal band of tiles
+    h2 = geocode._h2(F.col("h"))
+    pr = base.select(
+        "d", "h",
+        ((F.col("h") % 6) * 1200).alias("amp"),
+        (F.lit(94710000) + ((F.col("h") / 16).cast("long") % 3200) * 500)
+        .cast("int").alias("lon0"),
+        (F.lit(534600000) + (h2 % 3200) * 500)
+        .cast("int").alias("latp0"))
+    empty_tags = F.map_from_arrays(F.array().cast("array<string>"),
+                                   F.array().cast("array<string>"))
+    verts = pr.select("*", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"))
+    nodes = verts.select(
+        (F.col("d") * 4 + F.col("j")).alias("node_id"),
+        (F.col("lon0") + F.col("j") * 4000).cast("int").alias("lon"),
+        (F.col("latp0")
+         + F.when(F.col("j") == 1, F.col("amp")).otherwise(F.lit(0)))
+        .cast("int").alias("latp"),
+        empty_tags.alias("tags"),
+        F.col("d").cast("string").alias("src"))
+    hw = F.element_at(F.array(*[F.lit(v) for v in geocode.HIGHWAY_VALS]),
+                      (F.col("h") % 4 + 1).cast("int"))
+    ways = pr.select(
+        F.col("d").alias("way_id"),
+        F.array(F.col("d") * 4, F.col("d") * 4 + 1, F.col("d") * 4 + 2).alias("refs"),
+        F.map_from_arrays(F.array(F.lit("highway")), F.array(hw)).alias("tags"),
+        F.col("d").cast("string").alias("src"))
+    rels = docs.sparkSession.createDataFrame(
+        [], "rel_id long, outer_refs array<long>, inner_refs array<long>, "
+            "tags map<string,string>, src string")
+    return nodes, ways, rels
+
+
+def q_tile_bytes_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 driver row: ACTIVE Douglas-Peucker inside the real encode
+    path, verified from the wire bytes against a closed-form survival
+    oracle (pts_in/spx_in) plus the kernel CRC re-derivation (geom_ok)."""
+    from . import pipeline
+    from .config import Config
+
+    cfg = Config.from_json(_SIMPLIFY_CFG_JSON)
+    docs = load_docs(spark, sf_dir)
+    nodes, ways, rels = _probe_stores(docs)
+    feats = pipeline.build_features(nodes, ways, rels).localCheckpoint()
+    assigned = tileassign.assign_base_tiles(feats, 14)
+    rolled = tileassign.rollup_to_zoom(assigned, 14, 14)
+    tiles = pipeline.encode_zoom(rolled, cfg)
+
+    wire = (tiles.select("x", "y", "tile")
+            .mapInPandas(_wire_decoder(("transportation",), 2),
+                         schema=_RESULT_SCHEMA))
+    tol = cfg.layers["transportation"].simplify_tolerance(14, 0)
+    assert tol > 0.0  # the whole point: simplify must be ACTIVE
+    exp = (_expected_stats(assigned, 2, tol=tol)
+           .groupBy("x", "y")
+           .agg(F.count(F.lit(1)).alias("n_em"),
+                F.sum("crc").alias("e_hsum"),
+                F.expr("bit_xor(crc)").alias("e_hxor"),
+                F.expr("bool_and(whole)").alias("all_in")))
+    j = wire.join(exp, ["x", "y"], "full")
+    geom_ok = F.coalesce(
+        (F.col("n_feats") == F.col("n_em"))
+        & (F.col("hsum") == F.col("e_hsum"))
+        & (F.col("hxor") == F.col("e_hxor")), F.lit(False))
+    gate = F.coalesce(F.col("all_in"), F.lit(False))
+    return j.select(
+        "x", "y", "n_feats",
+        F.when(gate, F.col("n_pts")).otherwise(F.lit(-1)).alias("pts_in"),
+        F.when(gate, F.col("sum_px")).otherwise(F.lit(-1)).alias("spx_in"),
+        geom_ok.alias("geom_ok"))
+
+
 QUERIES = {
     "tile_bytes_lines": q_tile_bytes_lines,
     "tile_bytes_polys": q_tile_bytes_polys,
+    "tile_bytes_simplify": q_tile_bytes_simplify,
 }
 
 
@@ -492,7 +603,52 @@ FROM ptile
 """
 
 
+# Simplify-probe oracle: tent vertices + DDA candidate walk + margin-box
+# gate, with the closed-form DP survival rule (keep v1 iff amp > tol).
+_SIMPLIFY_SQL = f"""
+WITH pr AS (
+  SELECT doc_id AS d, {_H_SQL.format(d='doc_id')} AS h FROM documents
+),
+pp AS (
+  SELECT d, (h % 6) * 1200 AS amp,
+    94710000 + ((h // 16) % 3200) * 500 AS lon0,
+    534600000 + ((((h // 64) * 2654435761 + 40503) % 4294967296) % 3200) * 500 AS latp0
+  FROM pr
+),
+verts AS (
+  SELECT d AS fid, amp, j,
+    lon0 + j * 4000 AS vl,
+    latp0 + CASE WHEN j = 1 THEN amp ELSE 0 END AS vp
+  FROM pp, (SELECT unnest(range(3)) AS j) js
+),
+segsrc AS (
+  SELECT a.fid, a.j AS i, a.vl AS al, a.vp AS ap, b.vl AS bl, b.vp AS bp
+  FROM verts a JOIN verts b ON a.fid = b.fid AND b.j = a.j + 1
+),
+{_dda_cand('segsrc')},
+vflag AS (
+  SELECT p.fid, p.x, p.y,
+    (v.vl*128 BETWEEN {_BX1.replace('xx', 'p.x')} AND {_BX2.replace('xx', 'p.x')}
+     AND v.vp*128 BETWEEN {_BY1.replace('yy', 'p.y')} AND {_BY2.replace('yy', 'p.y')}) AS vin,
+    CASE WHEN v.j = 1 AND v.amp <= {SIMPLIFY_TOL_UNITS} THEN 0 ELSE 1 END AS keep,
+    {_PX.format(lon='v.vl', x='p.x')} AS pxv
+  FROM pairs p JOIN verts v USING (fid)
+),
+perfeat AS (
+  SELECT fid, x, y, bool_and(vin) AS whole_in,
+    sum(keep) AS pts, sum(keep * pxv) AS spx
+  FROM vflag GROUP BY 1, 2, 3
+)
+SELECT x, y, count(*) AS n_feats,
+  CAST(CASE WHEN bool_and(whole_in) THEN sum(pts) ELSE -1 END AS BIGINT) AS pts_in,
+  CAST(CASE WHEN bool_and(whole_in) THEN sum(spx) ELSE -1 END AS BIGINT) AS spx_in,
+  TRUE AS geom_ok
+FROM perfeat GROUP BY 1, 2
+"""
+
+
 ORACLES = {
     "tile_bytes_lines": GEOCODE_CTE + _LINES_SQL,
     "tile_bytes_polys": GEOCODE_CTE + _POLYS_SQL,
+    "tile_bytes_simplify": _SIMPLIFY_SQL,
 }

@@ -603,10 +603,17 @@ def q_j2_relation_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared CTE prefix re-deriving the geocode stores in DuckDB from the
 # documents table (pure integer arithmetic — mirrors geocode.py 1:1).
 
-GEOCODE_CTE = """
+# (d * 2654435761) mod 2^32 via the same 16-bit-split modular multiply
+# as geocode._h — the naive product overflows DuckDB's INT64 check at
+# doc_id >= 2^63/MUL ≈ 3.47e9, so the oracle must mirror the split form
+# to stay comparable at planetary ids (bit-identical for nonneg longs).
+_H_SQL = ("(((((({d} % 4294967296) // 65536) * 2654435761) % 65536) * 65536"
+          " + (({d} % 4294967296) % 65536) * 2654435761) % 4294967296)")
+
+GEOCODE_CTE = f"""
 WITH seeds0 AS (
-  SELECT doc_id AS d, (doc_id * 2654435761) % 4294967296 AS h FROM documents
-),
+  SELECT doc_id AS d, {_H_SQL.format(d='doc_id')} AS h FROM documents
+),""" + """
 seeds AS (
   SELECT d, h, k, (h + k*1013904223) % 4294967296 AS hk
   FROM seeds0, (SELECT unnest(range(3)) AS k) ks

@@ -32,11 +32,26 @@ def q_media_decode(spark, sf_dir):
     return media.extract_media_features_real(media.with_real_media_payload(docs))
 
 
+def q_media_decode_png(spark, sf_dir):
+    """REAL decode of a COMPRESSED format: deterministic PNG payloads
+    (zlib IDAT, all five filter types) generated executor-side, decoded
+    back through the pure-Python PNG critical path — width/height/
+    pixel_sum are closed-form in doc_id (n_bytes is compression-
+    dependent, so it is not part of the contract)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = media.extract_media_features_real(media.with_png_media_payload(docs))
+    return feats.select("doc_id", "kind", "width", "height", "n_frames",
+                        F.col("pixel_sum"))
+
+
 QUERIES = {
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
     "media_resize": q_media_resize,
     "media_decode": q_media_decode,
+    "media_decode_png": q_media_decode_png,
 }
 
 
@@ -93,6 +108,30 @@ WITH p AS (
 )
 SELECT doc_id,
   CAST(54 + nb AS INT) AS n_bytes,
+  'image' AS kind,
+  CAST(w AS INT) AS width,
+  CAST(h AS INT) AS height,
+  1 AS n_frames,
+  CAST((32640 * ((seed + nb) // 256)
+        + ((seed + nb) % 256) * (((seed + nb) % 256) - 1) // 2)
+       - (32640 * (seed // 256) + (seed % 256) * ((seed % 256) - 1) // 2)
+       AS BIGINT) AS pixel_sum
+FROM q
+""",
+    # real PNG decode: raw (pre-filter) pixel bytes are (seed + j) % 256
+    # over j in [0, w*h*3) — the same prefix-sum closed form; the zlib/
+    # filter wire layer must reconstruct exactly this stream
+    "media_decode_png": """
+WITH p AS (
+  SELECT doc_id,
+    3 + doc_id % 13 AS w,
+    1 + (doc_id // 13) % 12 AS h,
+    doc_id % 256 AS seed
+  FROM documents
+), q AS (
+  SELECT doc_id, w, h, seed, w * h * 3 AS nb FROM p
+)
+SELECT doc_id,
   'image' AS kind,
   CAST(w AS INT) AS width,
   CAST(h AS INT) AS height,
