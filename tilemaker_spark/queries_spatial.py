@@ -35,6 +35,19 @@ def q_spatial_join_pip_shp(spark, sf_dir):
     return spatial.point_in_polygon_join(spatial._points(spark, sf_dir), districts)
 
 
+def q_spatial_join_pip_big(spark, sf_dir):
+    """J4 LARGE-reference-layer arm (VERDICT r4 ask #2): the same PIP
+    join forced down the non-broadcast path — shuffle-hash equi-join on
+    cell, polygon cover shipped as compressed sorted Morton ranges
+    (spatial.cells_to_ranges) and re-expanded JVM-side. Same rows as
+    spatial_join_pip (oracle unchanged); the PLAN difference (no
+    BroadcastExchange on the cover side) is asserted in
+    tests/test_pipeline.py::test_pip_big_path_no_broadcast."""
+    return spatial.point_in_polygon_join(
+        spatial._points(spark, sf_dir), spatial.district_table(spark),
+        broadcast_ok=False)
+
+
 def q_knn_places(spark, sf_dir):
     return spatial.poi_knn(spark, sf_dir)
 
@@ -86,6 +99,7 @@ def q_classify_intersects_ways(spark, sf_dir):
 QUERIES = {
     "spatial_join_pip": q_spatial_join_pip,
     "spatial_join_pip_shp": q_spatial_join_pip_shp,
+    "spatial_join_pip_big": q_spatial_join_pip_big,
     "knn_places": q_knn_places,
     "rasterize_z12": q_rasterize_z12,
     "vectorize_cells": q_vectorize_cells,
@@ -141,6 +155,7 @@ FROM node_feats f JOIN districts d
 ORACLES = {
     "spatial_join_pip": _PIP_SQL,
     "spatial_join_pip_shp": _PIP_SQL,
+    "spatial_join_pip_big": _PIP_SQL,
     "knn_places": GEOCODE_CTE + """
 , q AS (SELECT object_id, lon, latp FROM node_feats WHERE layer = 'poi'),
 p AS (SELECT object_id AS place_id, lon, latp FROM node_feats WHERE layer = 'place'),

@@ -144,33 +144,58 @@ def district_table(spark: SparkSession) -> DataFrame:
         rows, "district_id INT, cx INT, cy INT, ring_lon ARRAY<INT>, ring_latp ARRAY<INT>")
 
 
-def district_cover_cells(districts: DataFrame, zoom: int = CELL_ZOOM) -> DataFrame:
+def district_cover_cells(districts: DataFrame, zoom: int = CELL_ZOOM,
+                         compact: bool = False) -> DataFrame:
     """Polygon -> covering Morton cells, batched numpy in an
     Arrow-vectorized pandas UDF (tilecover DDA walk + scanline fill,
-    then Morton interleave)."""
+    then Morton interleave).
+
+    ``compact=False`` (small broadcastable layers): one partition, one
+    Python worker, cells emitted directly.
+
+    ``compact=True`` (large layers): the UDF emits sorted Morton RANGES
+    (cells_to_ranges — the STRtree-style compressed index) at the
+    input's own parallelism, and Catalyst re-expands them JVM-side with
+    sequence(); the Python->JVM Arrow transfer carries O(ranges) rows
+    instead of O(cells), and no coalesce(1) bottleneck exists."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
     from .kernels import tilecover
 
+    def _cells(lons, latps):
+        lo = np.asarray(lons, dtype=np.float64) / 1e7
+        la = np.asarray(latps, dtype=np.float64) / 1e7
+        # bbox cover: a conservative SUPERSET of intersected cells —
+        # required for join correctness (the refine step discards
+        # non-matching candidates; a tighter cover that missed a
+        # corner cell would silently drop join rows). The tighter
+        # DDA+scanline cover (tilecover.polygon_cover_tiles) is
+        # reserved for tile ASSIGNMENT where reference parity — not
+        # supersetness — is the contract.
+        tids = tilecover.bbox_cover_tiles(lo.min(), la.min(), lo.max(), la.max(), zoom)
+        xs = tids >> 32
+        ys = tids & 0xFFFFFFFF
+        return morton_interleave_np(xs, ys, zoom)
+
+    if compact:
+        @pandas_udf(ArrayType(ArrayType(LongType())))
+        def cover_ranges(ring_lon, ring_latp):
+            return pd.Series([
+                [[s, e] for s, e in cells_to_ranges(_cells(lons, latps))]
+                for lons, latps in zip(ring_lon, ring_latp)])
+
+        return (districts
+                .withColumn("rng", F.explode(cover_ranges(F.col("ring_lon"),
+                                                          F.col("ring_latp"))))
+                .withColumn("cell", F.explode(F.sequence(F.element_at("rng", 1),
+                                                         F.element_at("rng", 2))))
+                .select("district_id", "cell", "ring_lon", "ring_latp"))
+
     @pandas_udf(ArrayType(LongType()))
     def cover(ring_lon, ring_latp):
-        out = []
-        for lons, latps in zip(ring_lon, ring_latp):
-            lo = np.asarray(lons, dtype=np.float64) / 1e7
-            la = np.asarray(latps, dtype=np.float64) / 1e7
-            # bbox cover: a conservative SUPERSET of intersected cells —
-            # required for join correctness (the refine step discards
-            # non-matching candidates; a tighter cover that missed a
-            # corner cell would silently drop join rows). The tighter
-            # DDA+scanline cover (tilecover.polygon_cover_tiles) is
-            # reserved for tile ASSIGNMENT where reference parity — not
-            # supersetness — is the contract.
-            tids = tilecover.bbox_cover_tiles(lo.min(), la.min(), lo.max(), la.max(), zoom)
-            xs = tids >> 32
-            ys = tids & 0xFFFFFFFF
-            out.append(morton_interleave_np(xs, ys, zoom).tolist())
-        return pd.Series(out)
+        return pd.Series([_cells(lons, latps).tolist()
+                          for lons, latps in zip(ring_lon, ring_latp)])
 
     # the reference layer is tiny — one partition, one Python worker
     return (districts.coalesce(1)
@@ -186,16 +211,35 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify.classify_nodes(nodes)
 
 
-def point_in_polygon_join(points: DataFrame, districts: DataFrame) -> DataFrame:
+def point_in_polygon_join(points: DataFrame, districts: DataFrame,
+                          broadcast_ok: bool = True) -> DataFrame:
     """J4: cell equi-join + vectorized ray-cast refine.
 
-    points must carry (object_id, layer, lon, latp). The polygon side is
-    broadcast (small reference layer); at 10^12 points the plan is
-    scan -> codegen cell expr -> broadcast hash join -> Arrow refine —
-    no shuffle of the point table at all."""
-    cover = district_cover_cells(districts)
+    points must carry (object_id, layer, lon, latp). Two physical paths
+    for the same logical join, chosen by ``broadcast_ok`` (the caller
+    knows its reference layer; the reference's R-tree handles any
+    in-RAM layer, src/shp_mem_tiles.cpp:26-89):
+
+    - True (small reference layer, the common case): polygon cover is
+      broadcast; at 10^12 points the plan is scan -> codegen cell expr
+      -> broadcast hash join -> Arrow refine — no shuffle of the point
+      table at all.
+    - False (layer too large to broadcast — planetary water polygons):
+      the SAME equi-join runs as a SHUFFLE_HASH join on cell. The
+      polygon index is computed at input parallelism and shipped
+      Python->JVM as compressed sorted Morton ranges (cells_to_ranges),
+      re-expanded by Catalyst sequence() — never collected driver-side,
+      never broadcast. Both sides shuffle once on cell; the refine is
+      unchanged."""
+    if broadcast_ok:
+        cover = district_cover_cells(districts)
+    else:
+        cover = district_cover_cells(districts, compact=True)
     pts = with_point_cell(points)
-    cand = pts.join(F.broadcast(cover), "cell")
+    if broadcast_ok:
+        cand = pts.join(F.broadcast(cover), "cell")
+    else:
+        cand = pts.join(cover.hint("shuffle_hash"), "cell")
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
