@@ -109,6 +109,22 @@ def test_run_pyramid_resume(spark, docs, tmp_path):
     assert os.path.exists(os.path.join(lin, "metrics_features.json"))
     assert os.path.exists(os.path.join(lin, "metrics_tiles.json"))
 
+    # snapshot chain (north_rule, Iceberg-style provenance): ids are
+    # monotonic, parent pointers link, and the resumed re-run appended
+    # NOTHING — reused stages create no new snapshots
+    import json
+
+    snaps = [json.loads(l) for l in
+             open(os.path.join(lin, "snapshots.jsonl")) if l.strip()]
+    assert [s["snapshot_id"] for s in snaps] == list(range(len(snaps)))
+    assert snaps[0]["parent_id"] is None
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent_id"] == prev["snapshot_id"]
+    assert {s["stage"] for s in snaps} == {"features", "base_tiles", "tiles"}
+    assert len(snaps) == 3  # second (resumed) run recomputed nothing
+    metrics = json.load(open(os.path.join(lin, "metrics_tiles.json")))
+    assert metrics["snapshot_id"] == snaps[-1]["snapshot_id"]
+
 
 def test_mbtiles_sink(spark, tiles, tmp_path):
     import sqlite3

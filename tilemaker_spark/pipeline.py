@@ -45,25 +45,53 @@ def _write_stage(df: DataFrame, path: str, partition_by: list | None = None) -> 
     w.parquet(path)
 
 
+def _append_snapshot(out_dir: str, stage: str, rows: int, partitions: int) -> dict:
+    """Iceberg-style snapshot chain (north_rule): every completed stage
+    checkpoint appends a record with a monotonically increasing
+    snapshot_id and a parent pointer to the previous snapshot — an
+    append-only JSONL standing in for Iceberg's snapshot log (the
+    runtime is absent in this sandbox; the provenance contract is not).
+    Resumed runs append nothing for reused stages, so the chain is an
+    audit trail of what actually recomputed."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "snapshots.jsonl")
+    parent = None
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    parent = json.loads(line)["snapshot_id"]
+    snap = {"snapshot_id": (parent + 1) if parent is not None else 0,
+            "parent_id": parent, "stage": stage, "ts": time.time(),
+            "rows": rows, "partitions": partitions}
+    with open(path, "a") as f:
+        f.write(json.dumps(snap) + "\n")
+    return snap
+
+
 def _lineage(spark: SparkSession, df: DataFrame, stage: str, out_dir: str,
              hash_col: str | None = None) -> dict:
     """Per-partition lineage + row-count (+ optional content hash) metrics
-    (north_rule). Written as JSON next to the stage table."""
+    (north_rule). Written as JSON next to the stage table, and stamped
+    into the snapshot chain (see _append_snapshot)."""
     aggs = [F.count(F.lit(1)).alias("rows")]
     if hash_col:
         aggs.append(F.sum(F.crc32(F.col(hash_col).cast("string"))).alias("content_hash"))
     per_part = (df.withColumn("_pid", F.spark_partition_id())
                   .groupBy("_pid").agg(*aggs).collect())
+    rows = int(sum(r["rows"] for r in per_part))
+    snap = _append_snapshot(out_dir, stage, rows, len(per_part))
     m = {
         "stage": stage,
         "ts": time.time(),
+        "snapshot_id": snap["snapshot_id"],
+        "parent_snapshot_id": snap["parent_id"],
         "partitions": len(per_part),
-        "rows": int(sum(r["rows"] for r in per_part)),
+        "rows": rows,
         "per_partition": [{"pid": int(r["_pid"]), "rows": int(r["rows"]),
                            **({"hash": int(r["content_hash"] or 0)} if hash_col else {})}
                           for r in per_part],
     }
-    os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, f"metrics_{stage}.json"), "w") as f:
         json.dump(m, f)
     return m
