@@ -390,10 +390,117 @@ def q_tile_bytes_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         geom_ok.alias("geom_ok"))
 
 
+# Ring arm of active simplify (G10 on polygon rings, simplify_ring +
+# the clip->winding->DP->ClosePath interplay). Probe: an axis-aligned
+# 16000-unit square with one bump vertex amp off the middle of its
+# right edge, SNAPPED 30000 units inside a hash-chosen z14 tile — every
+# probe lies wholly inside one known tile, so the oracle is pure
+# integer SQL (tile edge = tx*3515625//16 fixed units) with no DDA walk
+# and no clipping ambiguity. DP on the winding-reversed closed ring
+# keeps the four corners + closing vertex always and the bump iff
+# amp > tol: with side 16000 > 2*amp_max the recursion's split points
+# are amp-independent (verified numerically for all six amp classes
+# with the real kernels; margins are >=20% so float noise cannot flip).
+# Wire pts/feature = 5 (+1 if bump survives); ClosePath = 1/feature.
+
+_SIMPLIFY_POLY_CFG_JSON = """{
+  "layers": { "building": { "minzoom": 14, "maxzoom": 14,
+              "simplify_below": 15, "simplify_level": 0.0003 } },
+  "settings": { "basezoom": 14, "minzoom": 14, "maxzoom": 14,
+                "compress": true, "combine": false, "name": "simplify_poly_probe" }
+}"""
+
+_SQ = 16000  # probe square side (fixed units)
+
+
+def _probe_poly_stores(docs: DataFrame):
+    """Tile-snapped bump-square polygon probes (one closed way per doc)."""
+    d = geocode.doc_num_col(docs)
+    base = docs.select(d.alias("d"), geocode._h(d).alias("h"))
+    h2 = geocode._h2(F.col("h"))
+    tx = F.lit(8600) + F.col("h") % 16
+    ty = F.lit(5750) + h2 % 16
+    pr = base.select(
+        "d",
+        ((F.col("h") % 6) * 1200).alias("amp"),
+        ((tx * 3515625) / 16).cast("long").alias("ex"),
+        (((ty + 1) * 3515625) / 16).cast("long").alias("ey"),
+    ).select(
+        "d", "amp",
+        (F.col("ex") - 1800000000 + 30000).cast("int").alias("x0"),
+        (F.lit(1800000000) - F.col("ey") + 30000).cast("int").alias("y0"))
+    # vertices CCW: C0, C1, B(right-edge bump), C2, C3
+    vx = [F.col("x0"), F.col("x0") + _SQ, F.col("x0") + _SQ + F.col("amp"),
+          F.col("x0") + _SQ, F.col("x0")]
+    vy = [F.col("y0"), F.col("y0"), F.col("y0") + _SQ // 2,
+          F.col("y0") + _SQ, F.col("y0") + _SQ]
+    empty_tags = F.map_from_arrays(F.array().cast("array<string>"),
+                                   F.array().cast("array<string>"))
+    verts = pr.select("*", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"))
+    lon = F.element_at(F.array(*vx), F.col("j") + 1)
+    lat = F.element_at(F.array(*vy), F.col("j") + 1)
+    nodes = verts.select(
+        (F.col("d") * 8 + F.col("j")).alias("node_id"),
+        lon.cast("int").alias("lon"), lat.cast("int").alias("latp"),
+        empty_tags.alias("tags"), F.col("d").cast("string").alias("src"))
+    ways = pr.select(
+        F.col("d").alias("way_id"),
+        F.concat(F.transform(F.sequence(F.lit(0), F.lit(4)),
+                             lambda j: F.col("d") * 8 + j),
+                 F.array(F.col("d") * 8)).alias("refs"),
+        F.map_from_arrays(F.array(F.lit("building")),
+                          F.array(F.lit("yes"))).alias("tags"),
+        F.col("d").cast("string").alias("src"))
+    rels = docs.sparkSession.createDataFrame(
+        [], "rel_id long, outer_refs array<long>, inner_refs array<long>, "
+            "tags map<string,string>, src string")
+    return nodes, ways, rels
+
+
+def q_tile_bytes_simplify_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 RING arm driver row: active Douglas-Peucker on polygon rings
+    inside the real encode path, wire-verified against the closed-form
+    corner/bump survival oracle + kernel CRC re-derivation."""
+    from . import pipeline
+    from .config import Config
+
+    cfg = Config.from_json(_SIMPLIFY_POLY_CFG_JSON)
+    docs = load_docs(spark, sf_dir)
+    nodes, ways, rels = _probe_poly_stores(docs)
+    feats = pipeline.build_features(nodes, ways, rels).localCheckpoint()
+    assigned = tileassign.assign_base_tiles(feats, 14)
+    rolled = tileassign.rollup_to_zoom(assigned, 14, 14)
+    tiles = pipeline.encode_zoom(rolled, cfg)
+
+    wire = (tiles.select("x", "y", "tile")
+            .mapInPandas(_wire_decoder(("building",), 3),
+                         schema=_RESULT_SCHEMA))
+    tol = cfg.layers["building"].simplify_tolerance(14, 0)
+    assert tol > 0.0
+    exp = (_expected_stats(assigned, 3, tol=tol)
+           .groupBy("x", "y")
+           .agg(F.count(F.lit(1)).alias("n_em"),
+                F.sum("crc").alias("e_hsum"),
+                F.expr("bit_xor(crc)").alias("e_hxor"),
+                F.expr("bool_and(whole)").alias("all_in")))
+    j = wire.join(exp, ["x", "y"], "full")
+    geom_ok = F.coalesce(
+        (F.col("n_feats") == F.col("n_em"))
+        & (F.col("hsum") == F.col("e_hsum"))
+        & (F.col("hxor") == F.col("e_hxor")), F.lit(False))
+    gate = F.coalesce(F.col("all_in"), F.lit(False))
+    return j.select(
+        "x", "y", "n_feats", "n_close",
+        F.when(gate, F.col("n_pts")).otherwise(F.lit(-1)).alias("pts_in"),
+        F.when(gate, F.col("sum_px")).otherwise(F.lit(-1)).alias("spx_in"),
+        geom_ok.alias("geom_ok"))
+
+
 QUERIES = {
     "tile_bytes_lines": q_tile_bytes_lines,
     "tile_bytes_polys": q_tile_bytes_polys,
     "tile_bytes_simplify": q_tile_bytes_simplify,
+    "tile_bytes_simplify_poly": q_tile_bytes_simplify_poly,
 }
 
 
@@ -647,8 +754,43 @@ FROM perfeat GROUP BY 1, 2
 """
 
 
+# Ring-arm oracle: pure integer SQL (snapped probes — no DDA, no clip).
+# Kept-vertex lon multiset per feature: {x0 x3 (C0 open+close, C3),
+# x0+SQ x2 (C1, C2)} + bump lon iff amp > tol.
+_SIMPLIFY_POLY_SQL = f"""
+WITH pr AS (
+  SELECT doc_id AS d, {_H_SQL.format(d='doc_id')} AS h FROM documents
+),
+p2 AS (
+  SELECT d, h, ((h // 64) * 2654435761 + 40503) % 4294967296 AS h2 FROM pr
+),
+pp AS (
+  SELECT d, (h % 6) * 1200 AS amp,
+    8600 + h % 16 AS tx, 5750 + h2 % 16 AS ty
+  FROM p2
+),
+geomp AS (
+  SELECT d, amp, tx, ty,
+    (tx * 3515625) // 16 - 1800000000 + 30000 AS x0
+  FROM pp
+)
+SELECT tx AS x, ty AS y,
+  count(*) AS n_feats,
+  count(*) AS n_close,
+  sum(5 + CASE WHEN amp > {SIMPLIFY_TOL_UNITS} THEN 1 ELSE 0 END) AS pts_in,
+  sum(3 * {_PX.format(lon='x0', x='tx')}
+      + 2 * {_PX.format(lon=f'(x0 + {_SQ})', x='tx')}
+      + CASE WHEN amp > {SIMPLIFY_TOL_UNITS}
+             THEN {_PX.format(lon=f'(x0 + {_SQ} + amp)', x='tx')}
+             ELSE 0 END) AS spx_in,
+  TRUE AS geom_ok
+FROM geomp GROUP BY 1, 2
+"""
+
+
 ORACLES = {
     "tile_bytes_lines": GEOCODE_CTE + _LINES_SQL,
     "tile_bytes_polys": GEOCODE_CTE + _POLYS_SQL,
     "tile_bytes_simplify": _SIMPLIFY_SQL,
+    "tile_bytes_simplify_poly": _SIMPLIFY_POLY_SQL,
 }
