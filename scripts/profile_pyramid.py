@@ -98,8 +98,13 @@ def main() -> None:
     os.makedirs(evdir, exist_ok=True)
     for f in os.listdir(evdir):
         p = os.path.join(evdir, f)
-        # a prior run may have left a v2 rolling event-log DIRECTORY here
-        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        # a prior run may have left a v2 rolling event-log DIRECTORY
+        # here; tolerate concurrent cleanup / permission surprises — a
+        # leftover foreign file must not abort the profile run
+        try:
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        except OSError as e:
+            print(f"# warn: could not clear {p}: {e}", file=sys.stderr)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F

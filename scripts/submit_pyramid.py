@@ -49,11 +49,16 @@ def main(argv: list | None = None) -> int:
     # that are safe to set programmatically go here (and only if unset).
     builder = SparkSession.builder.appName("tilemaker_spark.pyramid")
     spark = builder.getOrCreate()
+    # respect anything the operator passed via --conf (including an
+    # explicit false): only fill keys absent from the submitted conf —
+    # spark.conf.get() would return the session DEFAULT for unset keys,
+    # making "was it explicitly set?" undecidable from the runtime conf
+    submitted = dict(spark.sparkContext.getConf().getAll())
     for k, v in (
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.execution.arrow.maxRecordsPerBatch", "131072"),
     ):
-        if spark.conf.get(k, None) is None:
+        if k not in submitted:
             spark.conf.set(k, v)
 
     from tilemaker_spark import pipeline

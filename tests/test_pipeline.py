@@ -220,7 +220,13 @@ def test_stream_group_exchanges_pinned(spark, docs):
     way_coords = assemble.ways_with_coords(ways, nodes)
     rf = assemble.assemble_relation_geometries(rel_feats, relations, way_coords)
     plan = rf._jdf.queryExecution().executedPlan().toString()
-    assert "REPARTITION_BY_NUM" in plan, plan[:2000]
+    # specific, not vacuous: THE rel_id group-carrying exchange itself
+    # must be the pinned one (any other pinned exchange elsewhere in the
+    # plan must not satisfy this), and no unpinned by-column repartition
+    # may exist anywhere upstream of the grouped stage
+    assert re.search(r"REPARTITION_BY_NUM[^\n]*hashpartitioning\(rel_id#\d+", plan) or \
+        re.search(r"hashpartitioning\(rel_id#\d+[^\n]*REPARTITION_BY_NUM", plan), plan[:3000]
+    assert "REPARTITION_BY_COL" not in plan, plan[:3000]
     # no relation may assemble as two partial features
     dups = rf.groupBy("object_id", "layer").count().where("count > 1").count()
     assert dups == 0

@@ -4,7 +4,8 @@ Streaming encoder: instead of groupBy().applyInPandas (one Python/Arrow
 round-trip per tile-layer group — measured ~2-4 ms of pure pandas
 machinery per group, the round-1 scale-killer), the plan is
 
-  repartition(z, x, y, _out_layer)          -- same shuffle as groupBy
+  repartition(n_parts, z, x, y, _out_layer) -- same shuffle as groupBy;
+                                               count PINNED (AQE-proof)
   .sortWithinPartitions(group key + A4 key) -- JVM-side radix/Tim sort
   .mapInPandas(stream encoder)              -- big Arrow batches
 

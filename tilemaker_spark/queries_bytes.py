@@ -1,4 +1,7 @@
-"""Driver-verified LINESTRING / POLYGON tile BYTES (VERDICT r3 ask #1).
+"""Driver-verified LINESTRING / POLYGON tile BYTES (VERDICT r3 ask #1)
++ ACTIVE-simplify rows (VERDICT r4 ask #1: tile_bytes_simplify /
+tile_bytes_simplify_poly — Douglas-Peucker firing for real inside the
+encode path, survival predicted closed-form in SQL).
 
 Extends the ``tile_bytes_points`` pattern (queries_core.py) to the
 geometry arms of the MVT command stream: the REAL z14 tile bytes
