@@ -499,11 +499,101 @@ def q_tile_bytes_simplify_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
         geom_ok.alias("geom_ok"))
 
 
+# ------------------------------------- A5 combine x G10 simplify interplay
+# The reference unions same-attribute geometries per tile and THEN
+# simplifies the merged result (src/tile_worker.cpp:66-99 + 167-176,
+# write_geometry.cpp:23-28) — the in-pipeline interplay VERDICT r4
+# flagged as never driver-exercised. Probes: tent lines SNAPPED inside
+# hash-chosen tiles, each tile's probes stacked at distinct y slots
+# (row_number over the tile) so every tent has its own support lines —
+# union_line_parts provably passes disjoint parts through unchanged —
+# and ALL probes share one attribute set, so the combine branch merges
+# each tile's tents into ONE feature whose parts then simplify
+# independently. Per tile: n_feats = 1, MoveTo count = probe count,
+# surviving vertices/pixel sums follow the same closed-form DP rule.
+
+_COMBINE_CFG_JSON = _SIMPLIFY_CFG_JSON.replace('"combine": false',
+                                               '"combine": true')
+
+
+def _probe_combine_stores(docs: DataFrame):
+    """Tile-snapped, y-slotted tent probes with IDENTICAL tags (one
+    attr class per tile -> one A5 combine run)."""
+    from pyspark.sql.window import Window
+
+    d = geocode.doc_num_col(docs)
+    base = docs.select(d.alias("d"), geocode._h(d).alias("h"))
+    h2 = geocode._h2(F.col("h"))
+    tx = F.lit(8600) + F.col("h") % 16
+    ty = F.lit(5750) + h2 % 16
+    pr = base.select(
+        "d",
+        ((F.col("h") % 6) * 1200).alias("amp"),
+        tx.alias("tx"), ty.alias("ty"))
+    w = Window.partitionBy("tx", "ty").orderBy("d")
+    pr = pr.withColumn("rank", F.row_number().over(w) - 1)
+    pr = pr.select(
+        "d", "amp",
+        ((F.col("tx") * 3515625) / 16).cast("long").alias("ex"),
+        (((F.col("ty") + 1) * 3515625) / 16).cast("long").alias("ey"),
+        "rank",
+    ).select(
+        "d", "amp",
+        (F.col("ex") - 1800000000 + 30000).cast("int").alias("x0"),
+        (F.lit(1800000000) - F.col("ey") + 30000
+         + F.col("rank") * 2500).cast("int").alias("y0"))
+    empty_tags = F.map_from_arrays(F.array().cast("array<string>"),
+                                   F.array().cast("array<string>"))
+    verts = pr.select("*", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"))
+    nodes = verts.select(
+        (F.col("d") * 4 + F.col("j")).alias("node_id"),
+        (F.col("x0") + F.col("j") * 4000).cast("int").alias("lon"),
+        (F.col("y0")
+         + F.when(F.col("j") == 1, F.col("amp")).otherwise(F.lit(0)))
+        .cast("int").alias("latp"),
+        empty_tags.alias("tags"),
+        F.col("d").cast("string").alias("src"))
+    ways = pr.select(
+        F.col("d").alias("way_id"),
+        F.array(F.col("d") * 4, F.col("d") * 4 + 1, F.col("d") * 4 + 2).alias("refs"),
+        F.map_from_arrays(F.array(F.lit("highway")),
+                          F.array(F.lit("primary"))).alias("tags"),
+        F.col("d").cast("string").alias("src"))
+    rels = docs.sparkSession.createDataFrame(
+        [], "rel_id long, outer_refs array<long>, inner_refs array<long>, "
+            "tags map<string,string>, src string")
+    return nodes, ways, rels
+
+
+def q_tile_bytes_combine_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 combine + active G10 on the merged feature, wire-verified:
+    one feature per tile, one MoveTo per merged tent, closed-form
+    surviving vertex and pixel-x sums."""
+    from . import pipeline
+    from .config import Config
+
+    cfg = Config.from_json(_COMBINE_CFG_JSON)
+    assert cfg.combine_similar
+    docs = load_docs(spark, sf_dir)
+    nodes, ways, rels = _probe_combine_stores(docs)
+    feats = pipeline.build_features(nodes, ways, rels).localCheckpoint()
+    assigned = tileassign.assign_base_tiles(feats, 14)
+    rolled = tileassign.rollup_to_zoom(assigned, 14, 14)
+    tiles = pipeline.encode_zoom(rolled, cfg)
+    wire = (tiles.select("x", "y", "tile")
+            .mapInPandas(_wire_decoder(("transportation",), 2),
+                         schema=_RESULT_SCHEMA))
+    return wire.select("x", "y", "n_feats", "n_parts",
+                       F.col("n_pts").alias("pts_in"),
+                       F.col("sum_px").alias("spx_in"))
+
+
 QUERIES = {
     "tile_bytes_lines": q_tile_bytes_lines,
     "tile_bytes_polys": q_tile_bytes_polys,
     "tile_bytes_simplify": q_tile_bytes_simplify,
     "tile_bytes_simplify_poly": q_tile_bytes_simplify_poly,
+    "tile_bytes_combine_simplify": q_tile_bytes_combine_simplify,
 }
 
 
@@ -791,9 +881,42 @@ FROM geomp GROUP BY 1, 2
 """
 
 
+# Combine-x-simplify oracle: pure integer SQL (snapped probes, y-slot
+# from a window rank; one merged feature per tile).
+_COMBINE_SQL = f"""
+WITH pr AS (
+  SELECT doc_id AS d, {_H_SQL.format(d='doc_id')} AS h FROM documents
+),
+p2 AS (
+  SELECT d, h, ((h // 64) * 2654435761 + 40503) % 4294967296 AS h2 FROM pr
+),
+pp AS (
+  SELECT d, (h % 6) * 1200 AS amp,
+    8600 + h % 16 AS tx, 5750 + h2 % 16 AS ty
+  FROM p2
+),
+geomc AS (
+  SELECT d, amp, tx, ty,
+    (tx * 3515625) // 16 - 1800000000 + 30000 AS x0
+  FROM pp
+)
+SELECT tx AS x, ty AS y,
+  CAST(1 AS BIGINT) AS n_feats,
+  count(*) AS n_parts,
+  sum(2 + CASE WHEN amp > {SIMPLIFY_TOL_UNITS} THEN 1 ELSE 0 END) AS pts_in,
+  sum({_PX.format(lon='x0', x='tx')}
+      + {_PX.format(lon='(x0 + 8000)', x='tx')}
+      + CASE WHEN amp > {SIMPLIFY_TOL_UNITS}
+             THEN {_PX.format(lon='(x0 + 4000)', x='tx')}
+             ELSE 0 END) AS spx_in
+FROM geomc GROUP BY 1, 2
+"""
+
+
 ORACLES = {
     "tile_bytes_lines": GEOCODE_CTE + _LINES_SQL,
     "tile_bytes_polys": GEOCODE_CTE + _POLYS_SQL,
     "tile_bytes_simplify": _SIMPLIFY_SQL,
     "tile_bytes_simplify_poly": _SIMPLIFY_POLY_SQL,
+    "tile_bytes_combine_simplify": _COMBINE_SQL,
 }
