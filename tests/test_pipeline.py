@@ -194,10 +194,15 @@ def test_media_decode_real_seam():
     kind, w, h, nf, cs = media.decode_real(png)
     assert (kind, w, h, nf) == ("image", 1, 1, 1)
 
+    # baseline JPEG is decoded natively now; a truncated/garbage JPEG is
+    # a parse error (ValueError), not a missing-codec condition
+    with pytest.raises(ValueError):
+        media.decode_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     if not media.HAVE_CODECS:
-        # only codec-owned formats (JPEG, ...) remain behind the PIL seam
+        # only codec-owned formats (progressive JPEG, ...) remain behind
+        # the PIL seam: SOF2 frame header -> NotImplementedError
         with pytest.raises(NotImplementedError):
-            media.decode_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+            media.decode_real(b"\xff\xd8\xff\xc2\x00\x08" + b"\x00" * 6)
 
 
 def test_stream_group_exchanges_pinned(spark, docs):
@@ -393,6 +398,70 @@ def test_png_decode_roundtrip_and_thirdparty():
 
     with pytest.raises(ValueError):
         media.decode_png(b"nope")
+
+
+def test_jpeg_decode_roundtrip_and_thirdparty():
+    """Baseline-JPEG arm (from-scratch T.81 decoder): DC-only fixtures
+    decode EXACTLY to an in-test closed form across sizes/seeds
+    (including non-MCU-aligned dims, so edge-block cropping is
+    exercised); genuine third-party baseline JPEGs parse — grayscale,
+    4:2:0 subsampled, and 4:4:4 with DRI restart intervals; progressive
+    is rejected with NotImplementedError."""
+    import glob
+
+    from tilemaker_spark import media
+    from tilemaker_spark.kernels import jpeg
+
+    for w, h in ((8, 8), (16, 16), (9, 9), (17, 23), (33, 9), (24, 40)):
+        for seed in (0, 123, 255):
+            gw, gh, psum = jpeg.decode_jpeg(jpeg.encode_dc_jpeg(w, h, seed))
+            want = 3 * sum(
+                min(8, w - 8 * bx) * min(8, h - 8 * by)
+                * ((seed + 17 * bx + 29 * by) % 256)
+                for bx in range((w + 7) // 8) for by in range((h + 7) // 8))
+            assert (gw, gh, psum) == (w, h, want)
+
+    # the decode_real dispatcher routes JPEG magic into the native arm
+    kind, w, h, nf, psum = media.decode_real(jpeg.encode_dc_jpeg(16, 16, 7))
+    assert (kind, w, h, nf) == ("image", 16, 16, 1)
+
+    # third-party files (not produced by our writer), when the container
+    # ships them: CPython test data (4:2:0, with/without APP0 wrapper),
+    # IPython (grayscale single-component), Rust embedded-book
+    # (720x477 4:4:4 with DRI=90 restart markers).
+    seen = 0
+    py_sums = set()
+    for path in glob.glob("/root/.pyenv/versions/*/lib/python*/test/"
+                          "imghdrdata/python*.jpg"):
+        gw, gh, psum = jpeg.decode_jpeg(open(path, "rb").read())
+        assert (gw, gh) == (16, 16), path
+        assert psum > 0
+        py_sums.add(psum)
+        seen += 1
+    # python.jpg and python-raw.jpg differ only in the APP0 wrapper —
+    # identical scan data must decode to the identical pixel sum
+    if seen >= 2:
+        assert len(py_sums) == 1, py_sums
+    for path in glob.glob("/root/.pyenv/versions/*/lib/python*/"
+                          "site-packages/IPython/core/tests/2x2.jpg"):
+        gw, gh, psum = jpeg.decode_jpeg(open(path, "rb").read())
+        assert (gw, gh) == (2, 2), path
+        seen += 1
+    for path in glob.glob("/root/.rustup/toolchains/*/share/doc/rust/html/"
+                          "embedded-book/assets/verify.jpeg")[:1]:
+        gw, gh, psum = jpeg.decode_jpeg(open(path, "rb").read())
+        assert (gw, gh) == (720, 477), path
+        assert 0 < psum < 720 * 477 * 3 * 255
+        seen += 1
+    assert seen >= 1  # the container ships at least the CPython fixtures
+
+    for path in glob.glob("/root/.rustup/toolchains/*/share/doc/rust/html/"
+                          "embedded-book/assets/f3.jpg")[:1]:
+        with pytest.raises(NotImplementedError):
+            jpeg.decode_jpeg(open(path, "rb").read())  # progressive
+
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"nope")
 
 
 def test_pip_big_path_no_broadcast(spark):

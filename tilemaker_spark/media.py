@@ -3,10 +3,12 @@
 Image/audio/video payloads are carried as plain BINARY columns with a
 STRUCT metadata column; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas UDFs over mapInPandas.
-`decode_real` decodes uncompressed 24-bit BMP, binary PPM (P6), and
-8-bit PNG (stdlib-zlib inflate + numpy filter reconstruction) FOR REAL
-in this codec-less container — driver-verified against closed-form
-pixel-sum oracles (media_decode / media_decode_png). JPEG and
+`decode_real` decodes uncompressed 24-bit BMP, binary PPM (P6),
+8-bit PNG (stdlib-zlib inflate + numpy filter reconstruction), and
+baseline JPEG (from-scratch T.81 Huffman + IDCT decoder,
+kernels/jpeg.py) FOR REAL in this codec-less container —
+driver-verified against closed-form pixel-sum oracles (media_decode /
+media_decode_png / media_decode_jpeg). Progressive JPEG and
 multi-frame formats sit behind the PIL import seam (absent here); the
 deterministic fake decoder keeps that plumbing — schema, partitioning,
 UDF signature, batch shape — real and tested.
@@ -257,10 +259,12 @@ def decode_png(buf: bytes):
 
 def decode_real(payload: bytes):
     """Real image decode: pure-struct BMP/PPM arms (run in ANY
-    environment, returning the decoded pixel sum as the checksum), PIL
-    for JPEG/PNG-class formats when available (header checksum, as
-    pixel access is codec-owned there), NotImplementedError otherwise
-    so callers can fall back to the deterministic fake path."""
+    environment, returning the decoded pixel sum as the checksum),
+    from-scratch PNG and baseline-JPEG decoders, PIL for the remaining
+    codec-owned formats (progressive JPEG, multi-frame) when available
+    (header checksum there, as pixel access is codec-owned),
+    NotImplementedError otherwise so callers can fall back to the
+    deterministic fake path."""
     if payload[:2] == b"BM":
         w, h, psum = decode_bmp(payload)
         return "image", w, h, 1, psum
@@ -270,11 +274,21 @@ def decode_real(payload: bytes):
     if payload[:8] == _PNG_SIG:
         w, h, psum = decode_png(payload)
         return "image", w, h, 1, psum
+    if payload[:2] == b"\xff\xd8":
+        from .kernels import jpeg as _jpeg
+
+        try:
+            w, h, psum = _jpeg.decode_jpeg(payload)
+            return "image", w, h, 1, psum
+        except NotImplementedError:
+            if _PILImage is None:  # progressive: codec-owned
+                raise
     if _PILImage is None:
         raise NotImplementedError(
-            "JPEG decoding requires PIL/ffmpeg-class libraries; "
-            "BMP/PPM/PNG decode is built in; use extract_media_features "
-            "(deterministic fake) for other formats in this environment")
+            "progressive-JPEG/multi-frame decoding requires PIL/ffmpeg-class "
+            "libraries; BMP/PPM/PNG/baseline-JPEG decode is built in; use "
+            "extract_media_features (deterministic fake) for other formats "
+            "in this environment")
     import io
 
     with _PILImage.open(io.BytesIO(payload)) as im:
@@ -314,6 +328,27 @@ def with_png_media_payload(docs: DataFrame) -> DataFrame:
             payloads = [encode_png(int(3 + d % 13),
                                    int(1 + (d // 13) % 12),
                                    int(d % 256)) for d in ids]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def with_jpeg_media_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic baseline-JPEG payloads (an ENTROPY-CODED format
+    decoded for real in this container): width = 9 + doc_id%24,
+    height = 9 + (doc_id//24)%24, seed = doc_id%256. DC-only 4:2:0
+    blocks decode exactly (see kernels/jpeg.py), so pixel_sum =
+    3 * sum over 8x8 luma blocks of crop_w*crop_h*((seed+17bx+29by)%256)
+    stays closed-form in doc_id while the wire bytes go through Huffman
+    coding, dequantization, the IDCT, chroma upsampling and YCbCr->RGB."""
+    from .kernels import jpeg as _jpeg
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads = [_jpeg.encode_dc_jpeg(int(9 + d % 24),
+                                             int(9 + (d // 24) % 24),
+                                             int(d % 256)) for d in ids]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")

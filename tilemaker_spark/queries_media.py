@@ -46,12 +46,29 @@ def q_media_decode_png(spark, sf_dir):
                         F.col("pixel_sum"))
 
 
+def q_media_decode_jpeg(spark, sf_dir):
+    """REAL decode of an ENTROPY-CODED format: deterministic DC-only
+    baseline-4:2:0 JPEG payloads generated executor-side, decoded back
+    through the from-scratch T.81 path (Huffman scan decode, dequant,
+    IDCT, chroma upsample, YCbCr->RGB). DC-only constant blocks with DC
+    quantizer step 8 decode EXACTLY, so width/height/pixel_sum are
+    closed-form in doc_id (n_bytes is entropy-coding-dependent, so it
+    is not part of the contract)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = media.extract_media_features_real(media.with_jpeg_media_payload(docs))
+    return feats.select("doc_id", "kind", "width", "height", "n_frames",
+                        F.col("pixel_sum"))
+
+
 QUERIES = {
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
     "media_resize": q_media_resize,
     "media_decode": q_media_decode,
     "media_decode_png": q_media_decode_png,
+    "media_decode_jpeg": q_media_decode_jpeg,
 }
 
 
@@ -141,5 +158,29 @@ SELECT doc_id,
        - (32640 * (seed // 256) + (seed % 256) * ((seed % 256) - 1) // 2)
        AS BIGINT) AS pixel_sum
 FROM q
+""",
+    # real baseline-JPEG decode: DC-only 4:2:0 fixture — each 8x8 luma
+    # block is the constant (seed + 17*bx + 29*by) % 256 and decodes
+    # exactly, chroma is 128 (YCbCr->RGB identity on Y), so
+    # pixel_sum = 3 * sum over blocks of crop_w * crop_h * block_value
+    "media_decode_jpeg": """
+WITH p AS (
+  SELECT doc_id,
+    9 + doc_id % 24 AS w,
+    9 + (doc_id // 24) % 24 AS h,
+    doc_id % 256 AS seed
+  FROM documents
+)
+SELECT doc_id,
+  'image' AS kind,
+  CAST(w AS INT) AS width,
+  CAST(h AS INT) AS height,
+  1 AS n_frames,
+  CAST(3 * list_sum(flatten(
+    list_transform(range(0, (w + 7) // 8), bx ->
+      list_transform(range(0, (h + 7) // 8), by ->
+        least(8, w - 8 * bx) * least(8, h - 8 * by)
+        * ((seed + 17 * bx + 29 * by) % 256))))) AS BIGINT) AS pixel_sum
+FROM p
 """,
 }
