@@ -408,6 +408,7 @@ def test_jpeg_decode_roundtrip_and_thirdparty():
     4:2:0 subsampled, and 4:4:4 with DRI restart intervals; progressive
     is rejected with NotImplementedError."""
     import glob
+    import struct
 
     from tilemaker_spark import media
     from tilemaker_spark.kernels import jpeg
@@ -459,6 +460,18 @@ def test_jpeg_decode_roundtrip_and_thirdparty():
                           "embedded-book/assets/f3.jpg")[:1]:
         with pytest.raises(NotImplementedError):
             jpeg.decode_jpeg(open(path, "rb").read())  # progressive
+
+    # non-interleaved multi-scan baseline (SOF declares 3 components but
+    # the first SOS selects only 1) must be rejected loudly, not decoded
+    # as if the single scan held the whole image
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes(
+        [3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    stream = (b"\xff\xd8"
+              + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+              + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        jpeg.decode_jpeg(stream)
 
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"nope")

@@ -253,6 +253,9 @@ def decode_jpeg(buf: bytes):
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG not supported")
             sel = {}
             for c in range(ns):
                 cs, tabs = body[1 + 2 * c], body[2 + 2 * c]
