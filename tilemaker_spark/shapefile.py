@@ -159,5 +159,8 @@ def district_table_from_shapefile(spark, shp_path: str,
         cx = int(r["attrs"].get("cx", lons.mean()))
         cy = int(r["attrs"].get("cy", latps.mean()))
         rows.append((did, cx, cy, [int(v) for v in lons], [int(v) for v in latps]))
+    # few fat slices, not defaultParallelism: per-slice scan overhead on
+    # locally-built ExistingRDDs dwarfs the data (see spatial.district_table)
     return spark.createDataFrame(
-        rows, "district_id INT, cx INT, cy INT, ring_lon ARRAY<INT>, ring_latp ARRAY<INT>")
+        spark.sparkContext.parallelize(rows, min(8, max(1, len(rows)))),
+        "district_id INT, cx INT, cy INT, ring_lon ARRAY<INT>, ring_latp ARRAY<INT>")
