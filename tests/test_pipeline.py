@@ -512,3 +512,38 @@ def test_pip_big_path_no_broadcast(spark):
     rows_big = sorted(map(tuple, big_r.collect()))
     assert rows_big == sorted(map(tuple, small_r.collect()))
     assert len(rows_big) > 0
+
+
+def test_spike_probe_defects_enter_the_pipeline(spark):
+    """tile_bytes_spikes is only a G12 repair proof if DEFECTIVE rings
+    actually flow in: all four defect classes (clean/dup/spike/chained)
+    must be present, with their distinct input ref counts (5/6/6/7
+    including the closing ref)."""
+    from tilemaker_spark import queries_bytes as QB
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    _nodes, ways, _rels = QB._probe_spike_stores(docs)
+    from tilemaker_spark import geocode
+    cls_sizes = {
+        (int(r["cls"]), int(r["n"]))
+        for r in (docs.select(geocode.doc_num_col(docs).alias("d"))
+                  .select("d", (geocode._h(F.col("d")) % 4).alias("cls"))
+                  .join(ways.select(F.col("way_id").alias("d"),
+                                    F.size("refs").alias("n")), "d")
+                  .select("cls", "n").distinct().collect())
+    }
+    assert cls_sizes == {(0, 5), (1, 6), (2, 6), (3, 7)}, cls_sizes
+
+
+def test_pyramid_bbox_is_a_strict_nonempty_cut(spark):
+    """F7 must DROP some tiles and KEEP some: the bbox row's tile set is
+    a strict non-empty subset of the unrestricted pyramid's."""
+    from tilemaker_spark import queries_core as QC
+
+    full = {(r["z"], r["x"], r["y"])
+            for r in QC.q_pyramid_tiles(spark, SF_DIR).collect()}
+    kept = {(r["z"], r["x"], r["y"])
+            for r in QC.q_pyramid_bbox(spark, SF_DIR).collect()}
+    assert kept and kept < full
+    assert len(full - kept) > 100          # the cut is substantial
+    assert any(z == 6 for z, _x, _y in kept)   # z6 tile survives

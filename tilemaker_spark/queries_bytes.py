@@ -588,12 +588,139 @@ def q_tile_bytes_combine_simplify(spark: SparkSession, sf_dir: str) -> DataFrame
                        F.col("sum_px").alias("spx_in"))
 
 
+# ----------------------------------------------- G12 validity repair
+# remove_spikes (duplicate-vertex drop + 180-degree spike removal to a
+# fixpoint, reference boost geom::remove_spikes as applied on polygon
+# ingest, src/read_shp.cpp:214-225) has only ever been pytest-golden
+# verified. This row drives DEFECTIVE rings through the REAL pipeline
+# (classify -> assemble -> assign -> streaming encode -> gzip wire) and
+# predicts the repaired wire closed-form: probes are axis-aligned
+# squares (side SQ in {12000, 16000, 20000}, doc-seeded) snapped 30000
+# fixed units inside a hash-chosen z14 tile, with a doc-seeded defect:
+#
+#   cls 0  clean ring            C0 C1 C2 C3          (control: nothing
+#                                                      may be removed)
+#   cls 1  duplicate vertex      C0 C1 C1 C2 C3       (consecutive dup)
+#   cls 2  spike                 C0 C1 C2 S1 C3       S1 = C2 + (4000, 0)
+#          (top edge runs C2->C3 leftward; C2->S1 overshoots right,
+#           S1->C3 doubles back over the same line: cross=0, dot<0)
+#   cls 3  chained spikes        C0 C1 C2 S1 S2 C3    S2 = C2 + (2000, 0)
+#          (removing S1 exposes S2 as a NEW spike — only the fixpoint
+#           iteration repairs it)
+#
+# Every class must repair to the identical 4-corner square, emitted
+# with the closing vertex explicit (same wire convention the
+# tile_bytes_simplify_poly oracle pins): pts = 5 per feature and the
+# pixel-x multiset {px(x0) x3 (open + close + C3), px(x0+SQ) x2} — a
+# surviving defect vertex fails pts_in/spx_in; an over-eager repair (a
+# dropped corner) fails them the other way. Simplify is INACTIVE (no
+# simplify_below => tol 0) so the row isolates G12 from G10.
+
+_SPIKE_CFG_JSON = """{
+  "layers": { "building": { "minzoom": 14, "maxzoom": 14 } },
+  "settings": { "basezoom": 14, "minzoom": 14, "maxzoom": 14,
+                "compress": true, "combine": false, "name": "spike_probe" }
+}"""
+
+
+def _probe_spike_stores(docs: DataFrame):
+    """Tile-snapped defective-square polygon probes (one closed way per
+    doc; defect class and square side doc-seeded)."""
+    d = geocode.doc_num_col(docs)
+    base = docs.select(d.alias("d"), geocode._h(d).alias("h"))
+    h2 = geocode._h2(F.col("h"))
+    tx = F.lit(8500) + F.col("h") % 16
+    ty = F.lit(5800) + h2 % 16
+    pr = base.select(
+        "d",
+        (F.col("h") % 4).alias("cls"),
+        (F.lit(12000) + (h2 % 3) * 4000).alias("sq"),
+        ((tx * 3515625) / 16).cast("long").alias("ex"),
+        (((ty + 1) * 3515625) / 16).cast("long").alias("ey"),
+    ).select(
+        "d", "cls", "sq",
+        (F.col("ex") - 1800000000 + 30000).cast("int").alias("x0"),
+        (F.lit(1800000000) - F.col("ey") + 30000).cast("int").alias("y0"))
+    # vertex table j=0..5: four corners CCW + the two spike vertices on
+    # the top edge (S1 overshoots C2 by 4000, S2 by 2000)
+    vx = [F.col("x0"), F.col("x0") + F.col("sq"), F.col("x0") + F.col("sq"),
+          F.col("x0"), F.col("x0") + F.col("sq") + 4000,
+          F.col("x0") + F.col("sq") + 2000]
+    vy = [F.col("y0"), F.col("y0"), F.col("y0") + F.col("sq"),
+          F.col("y0") + F.col("sq"), F.col("y0") + F.col("sq"),
+          F.col("y0") + F.col("sq")]
+    empty_tags = F.map_from_arrays(F.array().cast("array<string>"),
+                                   F.array().cast("array<string>"))
+    verts = pr.select("*", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("j"))
+    nodes = verts.select(
+        (F.col("d") * 8 + F.col("j")).alias("node_id"),
+        F.element_at(F.array(*vx), F.col("j") + 1).cast("int").alias("lon"),
+        F.element_at(F.array(*vy), F.col("j") + 1).cast("int").alias("latp"),
+        empty_tags.alias("tags"), F.col("d").cast("string").alias("src"))
+
+    def _refs(js):
+        return F.array(*([F.col("d") * 8 + F.lit(j) for j in js]
+                         + [F.col("d") * 8]))
+
+    refs = (F.when(F.col("cls") == 0, _refs([0, 1, 2, 3]))
+            .when(F.col("cls") == 1, _refs([0, 1, 1, 2, 3]))
+            .when(F.col("cls") == 2, _refs([0, 1, 2, 4, 3]))
+            .otherwise(_refs([0, 1, 2, 4, 5, 3])))
+    ways = pr.select(
+        F.col("d").alias("way_id"), refs.alias("refs"),
+        F.map_from_arrays(F.array(F.lit("building")),
+                          F.array(F.lit("yes"))).alias("tags"),
+        F.col("d").cast("string").alias("src"))
+    rels = docs.sparkSession.createDataFrame(
+        [], "rel_id long, outer_refs array<long>, inner_refs array<long>, "
+            "tags map<string,string>, src string")
+    return nodes, ways, rels
+
+
+def q_tile_bytes_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12 driver row: duplicate-vertex + (chained) spike repair inside
+    the real encode path, wire-verified against the closed-form
+    repaired-square oracle + kernel CRC re-derivation."""
+    from . import pipeline
+    from .config import Config
+
+    cfg = Config.from_json(_SPIKE_CFG_JSON)
+    assert cfg.layers["building"].simplify_tolerance(14, 0) == 0.0
+    docs = load_docs(spark, sf_dir)
+    nodes, ways, rels = _probe_spike_stores(docs)
+    feats = pipeline.build_features(nodes, ways, rels).localCheckpoint()
+    assigned = tileassign.assign_base_tiles(feats, 14)
+    rolled = tileassign.rollup_to_zoom(assigned, 14, 14)
+    tiles = pipeline.encode_zoom(rolled, cfg)
+    wire = (tiles.select("x", "y", "tile")
+            .mapInPandas(_wire_decoder(("building",), 3),
+                         schema=_RESULT_SCHEMA))
+    exp = (_expected_stats(assigned, 3, tol=0.0)
+           .groupBy("x", "y")
+           .agg(F.count(F.lit(1)).alias("n_em"),
+                F.sum("crc").alias("e_hsum"),
+                F.expr("bit_xor(crc)").alias("e_hxor"),
+                F.expr("bool_and(whole)").alias("all_in")))
+    j = wire.join(exp, ["x", "y"], "full")
+    geom_ok = F.coalesce(
+        (F.col("n_feats") == F.col("n_em"))
+        & (F.col("hsum") == F.col("e_hsum"))
+        & (F.col("hxor") == F.col("e_hxor")), F.lit(False))
+    gate = F.coalesce(F.col("all_in"), F.lit(False))
+    return j.select(
+        "x", "y", "n_feats", "n_parts", "n_close",
+        F.when(gate, F.col("n_pts")).otherwise(F.lit(-1)).alias("pts_in"),
+        F.when(gate, F.col("sum_px")).otherwise(F.lit(-1)).alias("spx_in"),
+        geom_ok.alias("geom_ok"))
+
+
 QUERIES = {
     "tile_bytes_lines": q_tile_bytes_lines,
     "tile_bytes_polys": q_tile_bytes_polys,
     "tile_bytes_simplify": q_tile_bytes_simplify,
     "tile_bytes_simplify_poly": q_tile_bytes_simplify_poly,
     "tile_bytes_combine_simplify": q_tile_bytes_combine_simplify,
+    "tile_bytes_spikes": q_tile_bytes_spikes,
 }
 
 
@@ -913,10 +1040,46 @@ FROM geomc GROUP BY 1, 2
 """
 
 
+# G12 spike oracle: pure integer SQL (snapped probes). EVERY defect
+# class must repair to the same 4-corner square, so the prediction is
+# defect-independent by construction: 4 wire vertices per feature and
+# the pixel-x multiset {px(x0) x2, px(x0+SQ) x2}. The defect classes
+# only vary the INPUT; a repair failure (surviving spike/dup vertex, or
+# an over-removed corner) shifts pts_in/spx_in and fails the hash.
+_SPIKES_SQL = f"""
+WITH pr AS (
+  SELECT doc_id AS d, {_H_SQL.format(d='doc_id')} AS h FROM documents
+),
+p2 AS (
+  SELECT d, h, ((h // 64) * 2654435761 + 40503) % 4294967296 AS h2 FROM pr
+),
+pp AS (
+  SELECT d, 12000 + (h2 % 3) * 4000 AS sq,
+    8500 + h % 16 AS tx, 5800 + h2 % 16 AS ty
+  FROM p2
+),
+geoms AS (
+  SELECT d, sq, tx, ty,
+    (tx * 3515625) // 16 - 1800000000 + 30000 AS x0
+  FROM pp
+)
+SELECT tx AS x, ty AS y,
+  count(*) AS n_feats,
+  count(*) AS n_parts,
+  count(*) AS n_close,
+  5 * count(*) AS pts_in,
+  sum(3 * {_PX.format(lon='x0', x='tx')}
+      + 2 * {_PX.format(lon='(x0 + sq)', x='tx')}) AS spx_in,
+  TRUE AS geom_ok
+FROM geoms GROUP BY 1, 2
+"""
+
+
 ORACLES = {
     "tile_bytes_lines": GEOCODE_CTE + _LINES_SQL,
     "tile_bytes_polys": GEOCODE_CTE + _POLYS_SQL,
     "tile_bytes_simplify": _SIMPLIFY_SQL,
     "tile_bytes_simplify_poly": _SIMPLIFY_POLY_SQL,
     "tile_bytes_combine_simplify": _COMBINE_SQL,
+    "tile_bytes_spikes": _SPIKES_SQL,
 }

@@ -295,6 +295,44 @@ def q_pyramid_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.groupBy("z", "x", "y").agg(F.count(F.lit(1)).alias("n_features"))
 
 
+# F7 driver row: config bounding_box, chosen to CUT the synthetic
+# corpus (lon 9.47-11.05, latp 53.46-55.2) at z13/z14 while keeping
+# its single z6 tile. Every constant sits >=0.036 tile units from an
+# integer tile boundary at all three zooms, so the engine's numpy
+# lon2tilex/lat2tileyf floors and the oracle's DuckDB re-derivation
+# (same op order; libm last-ULP differences are 11 orders of magnitude
+# below the margin) agree exactly; no tile edge coincides with the
+# bbox, so the touch-exclusion path (encode.py overlaps UDF) equals
+# the integer-range test.
+PYRAMID_BBOX = [9.9, 47.39, 10.6, 47.93]   # [minlon, minlat, maxlon, maxlat]
+
+
+def q_pyramid_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 driver row (tile-vs-bbox skip, reference src/tilemaker.cpp
+    bounding-box clip + src/tile_worker.cpp:229-250 empty-tile parity):
+    the full pyramid_tiles pipeline run THROUGH encode_zoom with a
+    config bounding_box — the returned tile coords are the encoder's
+    F7-filtered output set (both the per-zoom integer-range skip and
+    the exact TileBbox touch-exclusion UDF), joined back to the rollup
+    index for per-tile feature counts the oracle re-derives in SQL."""
+    from . import pipeline, tileassign
+    from .config import default_config
+    from .encode import encode_zoom
+
+    cfg = default_config()
+    cfg.bounding_box = list(PYRAMID_BBOX)
+    docs = load_docs(spark, sf_dir)
+    nodes, ways, rels = geocode.geocode(docs)
+    feats = pipeline.build_features(nodes, ways, rels).localCheckpoint()
+    assigned = tileassign.assign_base_tiles(feats, 14)
+    rolled = tileassign.rollup_all_zooms(assigned, [6, 13, 14], 14)
+    tiles = encode_zoom(rolled, cfg)
+    idx = rolled.groupBy("z", "x", "y").agg(F.count(F.lit(1)).alias("n_features"))
+    return (tiles.select("z", "x", "y").join(idx, ["z", "x", "y"], "left")
+            .select("z", "x", "y",
+                    F.coalesce("n_features", F.lit(0)).alias("n_features")))
+
+
 def q_tile_bytes_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G16/A8/G18/W4 driver-visible (VERDICT r2 missing #5): the REAL
     z14 MVT tile BYTES (gzip, protobuf framing, dictionary-encoded
@@ -946,6 +984,28 @@ SELECT wid0 AS way_id, CAST(1 AS INT) AS n_polys,
 FROM polys
 """,
     "pyramid_tiles": GEOCODE_CTE + _PYRAMID_SQL,
+    # F7: the proven pyramid walk restricted to the config bounding box
+    # — per-zoom integer tile ranges re-derived from the bbox constants
+    # with the engine's own float op order (lon2tilex: (lon+180)*(1/360)
+    # then an exact power-of-two scale; lat2tileyf through the Mercator
+    # log/tan path, src/coordinates.cpp:27-31) — margins >= 0.036 tile
+    # units make libm last-ULP drift unobservable in the floor
+    "pyramid_bbox": GEOCODE_CTE + _PYRAMID_CTES + """
+, bounds AS (
+  SELECT z,
+    CAST(trunc(((9.9 + 180.0) * (1.0/360.0)) * pow(2.0, z)) AS BIGINT) AS xlo,
+    CAST(trunc(((10.6 + 180.0) * (1.0/360.0)) * pow(2.0, z)) AS BIGINT) AS xhi,
+    CAST(trunc(((180.0 - degrees(ln(tan(radians(47.93 + 90.0) / 2.0))))
+                * (1.0/360.0)) * pow(2.0, z)) AS BIGINT) AS ylo,
+    CAST(trunc(((180.0 - degrees(ln(tan(radians(47.39 + 90.0) / 2.0))))
+                * (1.0/360.0)) * pow(2.0, z)) AS BIGINT) AS yhi
+  FROM (SELECT unnest([6, 13, 14]) AS z)
+)
+SELECT r.z, r.x, r.y, count(*) AS n_features
+FROM rolled r JOIN bounds b ON b.z = r.z
+WHERE r.x BETWEEN b.xlo AND b.xhi AND r.y BETWEEN b.ylo AND b.yhi
+GROUP BY 1, 2, 3
+""",
     # sinks: the z14 tile COORD set re-derived from the proven pyramid
     # walk; byte identity is wire-verified Spark-side (bytes_ok),
     # predicted TRUE here (reference: src/mbtiles.cpp:29 y-flip,
@@ -1025,6 +1085,7 @@ QUERIES = {
     "typed_attrs": q_typed_attrs,
     "a5_union_area": q_a5_union_area,
     "pyramid_tiles": q_pyramid_tiles,
+    "pyramid_bbox": q_pyramid_bbox,
     "tile_bytes_points": q_tile_bytes_points,
     "sink_mbtiles": q_sink_mbtiles,
     "sink_tilefiles": q_sink_tilefiles,
