@@ -57,6 +57,11 @@ def main(argv: list | None = None) -> int:
     for k, v in (
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.execution.arrow.maxRecordsPerBatch", "131072"),
+        # per-call error-context capture costs 4 Py4J round-trips per
+        # Column op (see session.get_spark) — read lazily at the first
+        # wrapped API call, so setting it here (before any DataFrame op)
+        # takes effect
+        ("spark.python.sql.dataFrameDebugging.enabled", "false"),
     ):
         if k not in submitted:
             spark.conf.set(k, v)

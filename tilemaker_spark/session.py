@@ -35,6 +35,15 @@ def get_spark(app_name: str = "tilemaker_spark", cpus: int | None = None,
         # binary columns — 20k-row batches made a 9 s transfer take 89 s
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark 4 wraps EVERY Column/function call with error-context
+        # capture: getActiveSession + conf.get + PySparkCurrentOrigin
+        # set/clear — 4 extra Py4J round-trips per API call. This
+        # engine's plan builders (geocode/classify/encode) issue ~10k
+        # calls per pyramid plan, so the capture alone costs seconds of
+        # driver time (measured: warm plan build 3.7-5.4 s -> 2.3-3.1 s
+        # with it off, sf0.1). The only loss is callsite attribution in
+        # AnalysisException messages.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
