@@ -86,74 +86,64 @@ def _h(d: Column) -> Column:
             + lo * F.lit(MUL)) % F.lit(M32)
 
 
-def _hk(h: Column, k: Column) -> Column:
-    return (h + k * F.lit(ADD)) % F.lit(M32)
-
-
 def _h2(hk: Column) -> Column:
     """Variant-selection hash, decorrelated from hk's low-bit residues."""
     return (F.floor(hk / 64) * F.lit(MUL) + F.lit(H2ADD)) % F.lit(M32)
 
 
+# Plan-construction note: this module is on every query's path and its
+# plan used to be built from ~1.5k pyspark Column calls — each a Py4J
+# round-trip (~1 ms), so the BUILD cost rivaled small-SF execution.
+# The builders below therefore use selectExpr with whole-projection SQL
+# strings (ONE round-trip per select, parsed JVM-side); the Column
+# helpers above are kept for external callers (probe builders in
+# queries_bytes). Semantics are pinned by the parity suite: the
+# selectExpr plans produce row-identical output to the original Column
+# plans at sf0.01 AND at planetary ids past the int64-overflow
+# boundary (tests/test_pipeline.py::test_geocode_hash_overflow, the 53
+# query/oracle pairs, and the pyramid byte goldens).
+
+_EMPTY_TAGS_SQL = ("map_from_arrays(CAST(array() AS ARRAY<STRING>), "
+                   "CAST(array() AS ARRAY<STRING>))")
+
+
+def _sql_str_array(vals) -> str:
+    return "array(" + ", ".join("'" + v + "'" for v in vals) + ")"
+
+
 def _seed_frame(docs: DataFrame) -> DataFrame:
     """One row per (doc, feature k) with hash, kind and anchor coords."""
-    d = doc_num_col(docs)
-    src = F.col("url") if "url" in docs.columns else F.col("doc_id").cast("string")
-    base = docs.select(d.alias("d"), src.alias("src"), (_h(d)).alias("h"))
-    feats = base.select(
-        "d", "src", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"),
-    ).where(F.col("k") < F.col("h") % 4)
-    hk = _hk(F.col("h"), F.col("k"))
+    d_expr = ("CAST(doc_id AS BIGINT)" if "doc_id" in docs.columns
+              else r"CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT)")
+    src_expr = "url" if "url" in docs.columns else "CAST(doc_id AS STRING)"
+    # _h as SQL (16-bit-split modular multiply, see _h above)
+    base = (docs
+            .selectExpr(f"{d_expr} AS d", f"{src_expr} AS src")
+            .selectExpr("d", "src", f"d % {M32} AS a")
+            .selectExpr("d", "src",
+                        f"(((FLOOR(a / 65536) * {MUL}) % 65536) * 65536"
+                        f" + (a % 65536) * {MUL}) % {M32} AS h"))
+    feats = (base
+             .selectExpr("d", "src", "h", "explode(sequence(0, 2)) AS k")
+             .where("k < h % 4"))
     # doc-level region: an 8x8 grid of 0.2-degree blocks — pages cluster
     # geographically (like real web corpora), and density per block stays
     # bounded as the corpus grows instead of piling one bbox ever denser
-    region = (F.col("h") / 65536).cast("long") % 64
-    return feats.select(
-        "d", "src", "k",
-        hk.alias("hk"),
-        _h2(hk).alias("h2"),
-        (hk % 3).alias("kind"),
-        (F.lit(94710000) + (hk % 1630) * 1000 + (region % 8) * 2000000).cast("int").alias("lon0"),
-        (F.lit(534600000) + ((hk / 7).cast("long") % 3200) * 1000
-         + (region / 8).cast("long") * 2000000).cast("int").alias("latp0"),
-        (F.col("d") * 256 + F.col("k") * 32).alias("nid0"),
-        (F.col("d") * 8 + F.col("k") * 2).alias("wid0"),
-        (F.col("d") * 8 + F.col("k")).alias("rid"),
-    )
-
-
-def _poi_tags(hk: Column) -> Column:
-    key = F.element_at(F.array(*[F.lit(k) for k, _ in POI_TAGS]), (hk % 6 + 1).cast("int"))
-    val = F.element_at(F.array(*[F.lit(v) for _, v in POI_TAGS]), (hk % 6 + 1).cast("int"))
-    return F.map_from_arrays(F.array(key, F.lit("name")),
-                             F.array(val, F.concat(F.lit("poi-"), F.col("d"), F.lit("-"), F.col("k"))))
-
-
-def _line_tags(hk: Column) -> Column:
-    hw = F.element_at(F.array(*[F.lit(v) for v in HIGHWAY_VALS]), (hk % 4 + 1).cast("int"))
-    return F.when(
-        hk % 5 == 0,
-        F.map_from_arrays(F.array(F.lit("waterway")), F.array(F.lit("stream"))),
-    ).otherwise(F.map_from_arrays(F.array(F.lit("highway")), F.array(hw)))
-
-
-def _poly_tags(hk: Column) -> Column:
-    key = F.element_at(F.array(*[F.lit(k) for k, _ in POLY_TAGS]), (hk % 3 + 1).cast("int"))
-    val = F.element_at(F.array(*[F.lit(v) for _, v in POLY_TAGS]), (hk % 3 + 1).cast("int"))
-    return F.map_from_arrays(F.array(key), F.array(val))
-
-
-def _line_nv(hk: Column) -> Column:
-    return (F.lit(4) + hk % 9).cast("int")
-
-
-def _line_step(hk: Column):
-    sx = ((hk % 3) - 1) * 4000
-    sy = (((hk / 3).cast("long") % 3) - 1) * 4000
-    # avoid fully-degenerate zero step
-    sx = F.when((hk % 3 == 1) & ((hk / 3).cast("long") % 3 == 1), F.lit(4000)).otherwise(sx)
-    return sx, sy
+    return (feats
+            .selectExpr("d", "src", "k",
+                        f"(h + k * {ADD}) % {M32} AS hk",
+                        "CAST(h / 65536 AS BIGINT) % 64 AS region")
+            .selectExpr(
+                "d", "src", "k", "hk",
+                f"(FLOOR(hk / 64) * {MUL} + {H2ADD}) % {M32} AS h2",
+                "hk % 3 AS kind",
+                "CAST(94710000 + (hk % 1630) * 1000"
+                " + (region % 8) * 2000000 AS INT) AS lon0",
+                "CAST(534600000 + (CAST(hk / 7 AS BIGINT) % 3200) * 1000"
+                " + CAST(region / 8 AS BIGINT) * 2000000 AS INT) AS latp0",
+                "d * 256 + k * 32 AS nid0",
+                "d * 8 + k * 2 AS wid0",
+                "d * 8 + k AS rid"))
 
 
 def _poly_r(hk: Column) -> Column:
@@ -168,113 +158,101 @@ def geocode(docs: DataFrame):
     pushed onto the document scan).
     """
     seeds = _seed_frame(docs)
-    hk = F.col("hk")
-    h2 = F.col("h2")
+    idx6 = "CAST(h2 % 6 + 1 AS INT)"
+    poi_tags_sql = (
+        "map_from_arrays("
+        f"array(element_at({_sql_str_array(k for k, _ in POI_TAGS)}, {idx6}), 'name'), "
+        f"array(element_at({_sql_str_array(v for _, v in POI_TAGS)}, {idx6}), "
+        "concat('poi-', d, '-', k)))")
+    poly_tags_sql = (
+        "map_from_arrays("
+        f"array(element_at({_sql_str_array(k for k, _ in POLY_TAGS)}, CAST(h2 % 3 + 1 AS INT))), "
+        f"array(element_at({_sql_str_array(v for _, v in POLY_TAGS)}, CAST(h2 % 3 + 1 AS INT))))")
+    line_tags_sql = (
+        "CASE WHEN h2 % 5 = 0 "
+        "THEN map_from_arrays(array('waterway'), array('stream')) "
+        "ELSE map_from_arrays(array('highway'), "
+        f"array(element_at({_sql_str_array(HIGHWAY_VALS)}, CAST(h2 % 4 + 1 AS INT)))) END")
+    oct_dx_sql = "array(" + ", ".join(str(v) for v in OCT_DX) + ")"
+    oct_dy_sql = "array(" + ", ".join(str(v) for v in OCT_DY) + ")"
 
     # ---- points: 1 tagged node
-    points = seeds.where(F.col("kind") == 0)
-    point_nodes = points.select(
-        F.col("nid0").alias("node_id"),
-        F.col("lon0").alias("lon"),
-        F.col("latp0").alias("latp"),
-        _poi_tags(h2).alias("tags"),
-        F.col("src"),
-    )
+    point_nodes = seeds.where("kind = 0").selectExpr(
+        "nid0 AS node_id", "lon0 AS lon", "latp0 AS latp",
+        f"{poi_tags_sql} AS tags", "src")
 
     # ---- lines: nv shape nodes + 1 way
-    lines = seeds.where(F.col("kind") == 1)
-    sx, sy = _line_step(h2)
+    lines = seeds.where("kind = 1").selectExpr(
+        "*",
+        "CAST(4 + h2 % 9 AS INT) AS nv",
+        "CASE WHEN h2 % 3 = 1 AND CAST(h2 / 3 AS BIGINT) % 3 = 1 THEN 4000"
+        " ELSE (h2 % 3 - 1) * 4000 END AS sx",
+        "(CAST(h2 / 3 AS BIGINT) % 3 - 1) * 4000 AS sy")
     line_nodes = (
-        lines.select("*", F.explode(F.sequence(F.lit(0), _line_nv(h2) - 1)).alias("j"))
-        .select(
-            (F.col("nid0") + F.col("j")).alias("node_id"),
-            (F.col("lon0") + F.col("j") * sx + ((hk * (F.col("j") + 1)) % 7) * 500).cast("int").alias("lon"),
-            (F.col("latp0") + F.col("j") * sy + ((hk * (F.col("j") + 2)) % 5) * 500).cast("int").alias("latp"),
-            F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")).alias("tags"),
-            F.col("src"),
-        )
-    )
-    line_ways = lines.select(
-        F.col("wid0").alias("way_id"),
-        F.transform(F.sequence(F.lit(0), _line_nv(h2) - 1), lambda j: F.col("nid0") + j).alias("refs"),
-        _line_tags(h2).alias("tags"),
-        F.col("src"),
-    )
+        lines.selectExpr("*", "explode(sequence(0, nv - 1)) AS j")
+        .selectExpr(
+            "nid0 + j AS node_id",
+            "CAST(lon0 + j * sx + ((hk * (j + 1)) % 7) * 500 AS INT) AS lon",
+            "CAST(latp0 + j * sy + ((hk * (j + 2)) % 5) * 500 AS INT) AS latp",
+            f"{_EMPTY_TAGS_SQL} AS tags", "src"))
+    line_ways = lines.selectExpr(
+        "wid0 AS way_id",
+        "transform(sequence(0, nv - 1), j -> nid0 + j) AS refs",
+        f"{line_tags_sql} AS tags", "src")
 
     # ---- polygons: octagon ring (8 nodes; way refs close the ring)
-    polys = seeds.where(F.col("kind") == 2)
-    r = _poly_r(h2)
-    oct_dx = F.array(*[F.lit(v) for v in OCT_DX])
-    oct_dy = F.array(*[F.lit(v) for v in OCT_DY])
+    polys = seeds.where("kind = 2").selectExpr(
+        "*", "CAST(2000 + h2 % 8000 AS INT) AS r")
     poly_nodes = (
-        polys.select("*", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"))
-        .select(
-            (F.col("nid0") + F.col("j")).alias("node_id"),
-            (F.col("lon0") + F.element_at(oct_dx, F.col("j") + 1) * r).cast("int").alias("lon"),
-            (F.col("latp0") + F.element_at(oct_dy, F.col("j") + 1) * r).cast("int").alias("latp"),
-            F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")).alias("tags"),
-            F.col("src"),
-        )
-    )
-    # inner-hole nodes for hk % 16 == 0 (smaller octagon, ids nid0+8..15)
+        polys.selectExpr("*", "explode(sequence(0, 7)) AS j")
+        .selectExpr(
+            "nid0 + j AS node_id",
+            f"CAST(lon0 + element_at({oct_dx_sql}, j + 1) * r AS INT) AS lon",
+            f"CAST(latp0 + element_at({oct_dy_sql}, j + 1) * r AS INT) AS latp",
+            f"{_EMPTY_TAGS_SQL} AS tags", "src"))
+    # inner-hole nodes for h2 % 16 == 0 (smaller octagon, ids nid0+8..15)
     hole_nodes = (
-        polys.where(h2 % 16 == 0)
-        .select("*", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"))
-        .select(
-            (F.col("nid0") + 8 + F.col("j")).alias("node_id"),
-            (F.col("lon0") + F.element_at(oct_dx, F.col("j") + 1) * (r / 3).cast("int")).cast("int").alias("lon"),
-            (F.col("latp0") + F.element_at(oct_dy, F.col("j") + 1) * (r / 3).cast("int")).cast("int").alias("latp"),
-            F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")).alias("tags"),
-            F.col("src"),
-        )
-    )
+        polys.where("h2 % 16 = 0")
+        .selectExpr("*", "explode(sequence(0, 7)) AS j")
+        .selectExpr(
+            "nid0 + 8 + j AS node_id",
+            f"CAST(lon0 + element_at({oct_dx_sql}, j + 1)"
+            " * CAST(r / 3 AS INT) AS INT) AS lon",
+            f"CAST(latp0 + element_at({oct_dy_sql}, j + 1)"
+            " * CAST(r / 3 AS INT) AS INT) AS latp",
+            f"{_EMPTY_TAGS_SQL} AS tags", "src"))
 
-    ring_refs = F.concat(
-        F.transform(F.sequence(F.lit(0), F.lit(7)), lambda j: F.col("nid0") + j),
-        F.array(F.col("nid0")),
-    )
     # plain closed-way polygons (not relation-built)
-    simple_polys = polys.where(h2 % 8 != 0)
-    simple_poly_ways = simple_polys.select(
-        F.col("wid0").alias("way_id"),
-        ring_refs.alias("refs"),
-        _poly_tags(h2).alias("tags"),
-        F.col("src"),
-    )
+    simple_poly_ways = polys.where("h2 % 8 <> 0").selectExpr(
+        "wid0 AS way_id",
+        "concat(transform(sequence(0, 7), j -> nid0 + j), array(nid0)) AS refs",
+        f"{poly_tags_sql} AS tags", "src")
 
     # relation-built polygons: ring split into two OPEN ways (J2 stitch)
-    rel_polys = polys.where(h2 % 8 == 0)
-    half1 = F.transform(F.sequence(F.lit(0), F.lit(4)), lambda j: F.col("nid0") + j)  # 0..4
-    half2 = F.concat(
-        F.transform(F.sequence(F.lit(4), F.lit(7)), lambda j: F.col("nid0") + j),
-        F.array(F.col("nid0")),
-    )  # 4..7,0
-    empty_tags = F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
-    rel_way_a = rel_polys.select(F.col("wid0").alias("way_id"), half1.alias("refs"),
-                                 empty_tags.alias("tags"), F.col("src"))
-    rel_way_b = rel_polys.select((F.col("wid0") + 1).alias("way_id"), half2.alias("refs"),
-                                 empty_tags.alias("tags"), F.col("src"))
-    hole_refs = F.concat(
-        F.transform(F.sequence(F.lit(0), F.lit(7)), lambda j: F.col("nid0") + 8 + j),
-        F.array(F.col("nid0") + 8),
-    )
-    # hole ways get ids offset by +4 in the doc's way-id space (d*8+k*2+4 is
-    # free because k<3 -> wid0 in {d*8, d*8+2, d*8+4}... use global offset)
-    hole_ways = rel_polys.where(h2 % 16 == 0).select(
-        (F.col("wid0") + F.lit(1) * 0 + F.lit(2 ** 40)).alias("way_id"),
-        hole_refs.alias("refs"), empty_tags.alias("tags"), F.col("src"))
+    rel_polys = polys.where("h2 % 8 = 0")
+    rel_way_a = rel_polys.selectExpr(
+        "wid0 AS way_id",
+        "transform(sequence(0, 4), j -> nid0 + j) AS refs",
+        f"{_EMPTY_TAGS_SQL} AS tags", "src")
+    rel_way_b = rel_polys.selectExpr(
+        "wid0 + 1 AS way_id",
+        "concat(transform(sequence(4, 7), j -> nid0 + j), array(nid0)) AS refs",
+        f"{_EMPTY_TAGS_SQL} AS tags", "src")
+    # hole ways get ids offset into free id space (2^40 past any wid0)
+    hole_ways = rel_polys.where("h2 % 16 = 0").selectExpr(
+        f"wid0 + {2 ** 40} AS way_id",
+        "concat(transform(sequence(0, 7), j -> nid0 + 8 + j),"
+        " array(nid0 + 8)) AS refs",
+        f"{_EMPTY_TAGS_SQL} AS tags", "src")
 
-    relations = rel_polys.select(
-        F.col("rid").alias("rel_id"),
-        F.array(F.col("wid0"), F.col("wid0") + 1).alias("outer_refs"),
-        F.when(h2 % 16 == 0, F.array(F.col("wid0") + F.lit(2 ** 40)))
-         .otherwise(F.array().cast("array<long>")).alias("inner_refs"),
-        F.map_concat(
-            F.map_from_arrays(F.array(F.lit("type")), F.array(F.lit("multipolygon"))),
-            _poly_tags(h2),
-        ).alias("tags"),
-        F.col("src"),
-    )
+    relations = rel_polys.selectExpr(
+        "rid AS rel_id",
+        "array(wid0, wid0 + 1) AS outer_refs",
+        f"CASE WHEN h2 % 16 = 0 THEN array(wid0 + {2 ** 40})"
+        " ELSE CAST(array() AS ARRAY<BIGINT>) END AS inner_refs",
+        "map_concat(map_from_arrays(array('type'), array('multipolygon')), "
+        f"{poly_tags_sql}) AS tags",
+        "src")
 
     geo_nodes = point_nodes.unionByName(line_nodes).unionByName(poly_nodes).unionByName(hole_nodes)
     geo_ways = line_ways.unionByName(simple_poly_ways).unionByName(rel_way_a) \
