@@ -363,6 +363,31 @@ def test_geocode_hash_overflow(spark):
     assert {d: h for d, h in rows} == want
 
 
+def test_plan_input_bytes_sees_cached_size(spark):
+    """Cache-substitution regression: plan_input_bytes must size a
+    .cache()d input by its MATERIALIZED bytes (InMemoryRelation stats),
+    not the raw source files under it. The bare analyzed plan predates
+    the cache manager's substitution, so a x64-replicated-then-cached
+    corpus would read as its 594 KB parquet and wrongly flip the
+    scale-mode heuristic to small-input (scripts/scaling_bench.py is
+    exactly this shape)."""
+    from tilemaker_spark.session import plan_input_bytes
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    raw = plan_input_bytes(docs)
+    assert raw is not None and raw > 0
+
+    big = (docs.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(63))))
+               .drop("_rep").cache())
+    try:
+        big.count()
+        cached = plan_input_bytes(big)
+        # materialized x64 replication must dominate the raw file size
+        assert cached is not None and cached > 8 * raw
+    finally:
+        big.unpersist()
+
+
 def test_png_decode_roundtrip_and_thirdparty():
     """PNG arm: decode(encode) matches the closed-form pixel sum across
     sizes/seeds (all five filter types exercised when h >= 5), and

@@ -187,7 +187,17 @@ def decode_jpeg(buf: bytes):
     """Decode a baseline JPEG -> (width, height, pixel_sum) where
     pixel_sum is the int64 sum of the decoded RGB (or grayscale)
     samples over the WxH crop. Raises NotImplementedError for
-    progressive / non-baseline frames."""
+    progressive / non-baseline frames and ValueError for malformed
+    input (the parse-error contract callers catch): truncation
+    surfaces inside _BitReader._fill / struct.unpack_from as
+    IndexError/struct.error, normalized here."""
+    try:
+        return _decode_jpeg(buf)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"truncated or corrupt JPEG: {ex}") from ex
+
+
+def _decode_jpeg(buf: bytes):
     if buf[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     qtabs = {}

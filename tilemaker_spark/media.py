@@ -272,8 +272,12 @@ def decode_real(payload: bytes):
         w, h, psum = decode_ppm(payload)
         return "image", w, h, 1, psum
     if payload[:8] == _PNG_SIG:
-        w, h, psum = decode_png(payload)
-        return "image", w, h, 1, psum
+        try:
+            w, h, psum = decode_png(payload)
+            return "image", w, h, 1, psum
+        except NotImplementedError:
+            if _PILImage is None:  # 16-bit / sub-byte / interlaced
+                raise
     if payload[:2] == b"\xff\xd8":
         from .kernels import jpeg as _jpeg
 
@@ -285,10 +289,10 @@ def decode_real(payload: bytes):
                 raise
     if _PILImage is None:
         raise NotImplementedError(
-            "progressive-JPEG/multi-frame decoding requires PIL/ffmpeg-class "
-            "libraries; BMP/PPM/PNG/baseline-JPEG decode is built in; use "
-            "extract_media_features (deterministic fake) for other formats "
-            "in this environment")
+            "progressive-JPEG/multi-frame/other-format decoding requires "
+            "PIL/ffmpeg-class libraries; BMP/PPM/PNG(8-bit)/baseline-JPEG "
+            "decode is built in; use extract_media_features (deterministic "
+            "fake) for other formats in this environment")
     import io
 
     with _PILImage.open(io.BytesIO(payload)) as im:

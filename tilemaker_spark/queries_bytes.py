@@ -532,6 +532,13 @@ def _probe_combine_stores(docs: DataFrame):
         tx.alias("tx"), ty.alias("ty"))
     w = Window.partitionBy("tx", "ty").orderBy("d")
     pr = pr.withColumn("rank", F.row_number().over(w) - 1)
+    # Y-slot capacity: slots live at 30000 + rank*2500 (+ amp <= 6000)
+    # inside a z14 tile 3515625/16 ~ 219726 units tall, so rank <= 73
+    # stays inside. Cap at 64 (mirrored in _COMBINE_SQL) so the row
+    # stays correct at corpora dense enough to overflow a tile's
+    # slots (sf1-class: ~195 probes/tile) instead of silently leaking
+    # probes into the tile above.
+    pr = pr.where(F.col("rank") < 64)
     pr = pr.select(
         "d", "amp",
         ((F.col("tx") * 3515625) / 16).cast("long").alias("ex"),
@@ -1009,7 +1016,9 @@ FROM geomp GROUP BY 1, 2
 
 
 # Combine-x-simplify oracle: pure integer SQL (snapped probes, y-slot
-# from a window rank; one merged feature per tile).
+# from a window rank; one merged feature per tile). The rank < 64
+# y-slot cap mirrors _probe_combine_stores (slots overflow the tile
+# above rank 73 at sf1-class densities).
 _COMBINE_SQL = f"""
 WITH pr AS (
   SELECT doc_id AS d, {_H_SQL.format(d='doc_id')} AS h FROM documents
@@ -1022,10 +1031,15 @@ pp AS (
     8600 + h % 16 AS tx, 5750 + h2 % 16 AS ty
   FROM p2
 ),
+ppr AS (
+  SELECT d, amp, tx, ty,
+    ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY d) - 1 AS rnk
+  FROM pp
+),
 geomc AS (
   SELECT d, amp, tx, ty,
     (tx * 3515625) // 16 - 1800000000 + 30000 AS x0
-  FROM pp
+  FROM ppr WHERE rnk < 64
 )
 SELECT tx AS x, ty AS y,
   CAST(1 AS BIGINT) AS n_feats,
@@ -1042,8 +1056,10 @@ FROM geomc GROUP BY 1, 2
 
 # G12 spike oracle: pure integer SQL (snapped probes). EVERY defect
 # class must repair to the same 4-corner square, so the prediction is
-# defect-independent by construction: 4 wire vertices per feature and
-# the pixel-x multiset {px(x0) x2, px(x0+SQ) x2}. The defect classes
+# defect-independent by construction: 5 wire vertices per feature
+# (closing vertex explicit, the convention the simplify_poly oracle
+# pins) and the pixel-x multiset {px(x0) x3 (open + close + C3),
+# px(x0+SQ) x2}. The defect classes
 # only vary the INPUT; a repair failure (surviving spike/dup vertex, or
 # an over-removed corner) shifts pts_in/spx_in and fails the hash.
 _SPIKES_SQL = f"""

@@ -990,14 +990,14 @@ FROM polys
     # then an exact power-of-two scale; lat2tileyf through the Mercator
     # log/tan path, src/coordinates.cpp:27-31) — margins >= 0.036 tile
     # units make libm last-ULP drift unobservable in the floor
-    "pyramid_bbox": GEOCODE_CTE + _PYRAMID_CTES + """
+    "pyramid_bbox": GEOCODE_CTE + _PYRAMID_CTES + f"""
 , bounds AS (
   SELECT z,
-    CAST(trunc(((9.9 + 180.0) * (1.0/360.0)) * pow(2.0, z)) AS BIGINT) AS xlo,
-    CAST(trunc(((10.6 + 180.0) * (1.0/360.0)) * pow(2.0, z)) AS BIGINT) AS xhi,
-    CAST(trunc(((180.0 - degrees(ln(tan(radians(47.93 + 90.0) / 2.0))))
+    CAST(trunc((({PYRAMID_BBOX[0]} + 180.0) * (1.0/360.0)) * pow(2.0, z)) AS BIGINT) AS xlo,
+    CAST(trunc((({PYRAMID_BBOX[2]} + 180.0) * (1.0/360.0)) * pow(2.0, z)) AS BIGINT) AS xhi,
+    CAST(trunc(((180.0 - degrees(ln(tan(radians({PYRAMID_BBOX[3]} + 90.0) / 2.0))))
                 * (1.0/360.0)) * pow(2.0, z)) AS BIGINT) AS ylo,
-    CAST(trunc(((180.0 - degrees(ln(tan(radians(47.39 + 90.0) / 2.0))))
+    CAST(trunc(((180.0 - degrees(ln(tan(radians({PYRAMID_BBOX[1]} + 90.0) / 2.0))))
                 * (1.0/360.0)) * pow(2.0, z)) AS BIGINT) AS yhi
   FROM (SELECT unnest([6, 13, 14]) AS z)
 )

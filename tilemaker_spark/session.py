@@ -66,10 +66,16 @@ _TRUSTED_LEAVES = {"LogicalRelation", "InMemoryRelation", "LocalRelation",
 
 
 def plan_input_bytes(df) -> int | None:
-    """Best-effort source size of a DataFrame: sum of its ANALYZED
-    plan's leaf sizes (leaves and their stats are identical to the
-    optimized plan's, but resolution skips the optimizer rule passes —
-    measured 20x cheaper on a cold pyramid subtree), counting only
+    """Best-effort source size of a DataFrame: sum of the
+    ``withCachedData`` plan's leaf sizes — analysis plus the cache
+    manager's InMemoryRelation substitution, but NOT the optimizer
+    rule passes (measured 20x cheaper than optimizedPlan on a cold
+    pyramid subtree). The cache substitution matters: the bare
+    ANALYZED plan sizes a ``.cache()``d input by its raw source files
+    (a x64-replicated-then-cached sf0.1 corpus reads as 594 KB, not
+    its ~107 MiB materialized size), which would flip the scale-mode
+    heuristic to "small input" at exactly the replicated scales where
+    fine Python-stage partitioning was measured to matter. Counts only
     leaves whose statistics are real —
     file scans (file size), cached relations (materialized size),
     driver-local relations. A ``LogicalRDD`` leaf (localCheckpoint)
@@ -80,7 +86,7 @@ def plan_input_bytes(df) -> int | None:
     mode — the conservative direction at scale)."""
     try:
         sc = df.sparkSession.sparkContext
-        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        leaves = df._jdf.queryExecution().withCachedData().collectLeaves()
         total = 0
         for i in range(leaves.size()):
             node = leaves.apply(i)
