@@ -314,6 +314,71 @@ _SIMPLIFY_CFG_JSON = """{
 }"""
 
 
+def _empty_tags():
+    return F.map_from_arrays(F.array().cast("array<string>"),
+                             F.array().cast("array<string>"))
+
+
+def _empty_rels(spark):
+    return spark.createDataFrame(
+        [], "rel_id long, outer_refs array<long>, inner_refs array<long>, "
+            "tags map<string,string>, src string")
+
+
+def _snap30k(df: DataFrame) -> DataFrame:
+    """Append x0/y0 = the point 30000 fixed units inside tile (tx, ty)'s
+    SW corner (tile edge = t*3515625//16 fixed units at z14) — the
+    shared snapping arithmetic of every tile-snapped probe family."""
+    ex = ((F.col("tx") * 3515625) / 16).cast("long")
+    ey = (((F.col("ty") + 1) * 3515625) / 16).cast("long")
+    return (df.withColumn("x0", (ex - 1800000000 + 30000).cast("int"))
+              .withColumn("y0", (F.lit(1800000000) - ey + 30000).cast("int")))
+
+
+def _run_probe_pipeline(spark, sf_dir, cfg, probe_fn, layer: str, kind: int):
+    """Shared probe-row scaffold: stores -> build_features -> base-tile
+    assign -> z14 rollup -> REAL streaming encode -> independent wire
+    parse. Returns (assigned, wire) for the caller's oracle join."""
+    from . import pipeline
+
+    docs = load_docs(spark, sf_dir)
+    nodes, ways, rels = probe_fn(docs)
+    feats = pipeline.build_features(nodes, ways, rels).localCheckpoint()
+    assigned = tileassign.assign_base_tiles(feats, 14)
+    rolled = tileassign.rollup_to_zoom(assigned, 14, 14)
+    tiles = pipeline.encode_zoom(rolled, cfg)
+    wire = (tiles.select("x", "y", "tile")
+            .mapInPandas(_wire_decoder((layer,), kind),
+                         schema=_RESULT_SCHEMA))
+    return assigned, wire
+
+
+def _gated_verify(wire: DataFrame, assigned: DataFrame, kind: int,
+                  tol: float, extra_cols: tuple) -> DataFrame:
+    """Shared verification scaffold: kernel CRC re-derivation
+    (_expected_stats) joined full-outer against the wire so missing or
+    spurious tiles fail geom_ok; pts_in/spx_in gated to -1 on tiles
+    whose features are not wholly inside (their exact values are not
+    SQL-predictable there)."""
+    exp = (_expected_stats(assigned, kind, tol=tol)
+           .groupBy("x", "y")
+           .agg(F.count(F.lit(1)).alias("n_em"),
+                F.sum("crc").alias("e_hsum"),
+                F.expr("bit_xor(crc)").alias("e_hxor"),
+                F.expr("bool_and(whole)").alias("all_in")))
+    j = wire.join(exp, ["x", "y"], "full")
+    geom_ok = F.coalesce(
+        (F.col("n_feats") == F.col("n_em"))
+        & (F.col("hsum") == F.col("e_hsum"))
+        & (F.col("hxor") == F.col("e_hxor")), F.lit(False))
+    gate = F.coalesce(F.col("all_in"), F.lit(False))
+    return j.select(
+        "x", "y", *extra_cols,
+        F.when(gate, F.col("n_pts")).otherwise(F.lit(-1)).alias("pts_in"),
+        F.when(gate, F.col("sum_px")).otherwise(F.lit(-1)).alias("spx_in"),
+        geom_ok.alias("geom_ok"))
+
+
 def _probe_stores(docs: DataFrame):
     """Deterministic tent-probe stores (one 3-vertex line way per doc),
     shaped exactly like geocode's (nodes, ways, relations)."""
@@ -330,8 +395,7 @@ def _probe_stores(docs: DataFrame):
         .cast("int").alias("lon0"),
         (F.lit(534600000) + (h2 % 3200) * 500)
         .cast("int").alias("latp0"))
-    empty_tags = F.map_from_arrays(F.array().cast("array<string>"),
-                                   F.array().cast("array<string>"))
+    empty_tags = _empty_tags()
     verts = pr.select("*", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"))
     nodes = verts.select(
         (F.col("d") * 4 + F.col("j")).alias("node_id"),
@@ -348,49 +412,21 @@ def _probe_stores(docs: DataFrame):
         F.array(F.col("d") * 4, F.col("d") * 4 + 1, F.col("d") * 4 + 2).alias("refs"),
         F.map_from_arrays(F.array(F.lit("highway")), F.array(hw)).alias("tags"),
         F.col("d").cast("string").alias("src"))
-    rels = docs.sparkSession.createDataFrame(
-        [], "rel_id long, outer_refs array<long>, inner_refs array<long>, "
-            "tags map<string,string>, src string")
-    return nodes, ways, rels
+    return nodes, ways, _empty_rels(docs.sparkSession)
 
 
 def q_tile_bytes_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G10 driver row: ACTIVE Douglas-Peucker inside the real encode
     path, verified from the wire bytes against a closed-form survival
     oracle (pts_in/spx_in) plus the kernel CRC re-derivation (geom_ok)."""
-    from . import pipeline
     from .config import Config
 
     cfg = Config.from_json(_SIMPLIFY_CFG_JSON)
-    docs = load_docs(spark, sf_dir)
-    nodes, ways, rels = _probe_stores(docs)
-    feats = pipeline.build_features(nodes, ways, rels).localCheckpoint()
-    assigned = tileassign.assign_base_tiles(feats, 14)
-    rolled = tileassign.rollup_to_zoom(assigned, 14, 14)
-    tiles = pipeline.encode_zoom(rolled, cfg)
-
-    wire = (tiles.select("x", "y", "tile")
-            .mapInPandas(_wire_decoder(("transportation",), 2),
-                         schema=_RESULT_SCHEMA))
     tol = cfg.layers["transportation"].simplify_tolerance(14, 0)
     assert tol > 0.0  # the whole point: simplify must be ACTIVE
-    exp = (_expected_stats(assigned, 2, tol=tol)
-           .groupBy("x", "y")
-           .agg(F.count(F.lit(1)).alias("n_em"),
-                F.sum("crc").alias("e_hsum"),
-                F.expr("bit_xor(crc)").alias("e_hxor"),
-                F.expr("bool_and(whole)").alias("all_in")))
-    j = wire.join(exp, ["x", "y"], "full")
-    geom_ok = F.coalesce(
-        (F.col("n_feats") == F.col("n_em"))
-        & (F.col("hsum") == F.col("e_hsum"))
-        & (F.col("hxor") == F.col("e_hxor")), F.lit(False))
-    gate = F.coalesce(F.col("all_in"), F.lit(False))
-    return j.select(
-        "x", "y", "n_feats",
-        F.when(gate, F.col("n_pts")).otherwise(F.lit(-1)).alias("pts_in"),
-        F.when(gate, F.col("sum_px")).otherwise(F.lit(-1)).alias("spx_in"),
-        geom_ok.alias("geom_ok"))
+    assigned, wire = _run_probe_pipeline(spark, sf_dir, cfg, _probe_stores,
+                                         "transportation", 2)
+    return _gated_verify(wire, assigned, 2, tol, ("n_feats",))
 
 
 # Ring arm of active simplify (G10 on polygon rings, simplify_ring +
@@ -421,24 +457,17 @@ def _probe_poly_stores(docs: DataFrame):
     d = geocode.doc_num_col(docs)
     base = docs.select(d.alias("d"), geocode._h(d).alias("h"))
     h2 = geocode._h2(F.col("h"))
-    tx = F.lit(8600) + F.col("h") % 16
-    ty = F.lit(5750) + h2 % 16
-    pr = base.select(
+    pr = _snap30k(base.select(
         "d",
         ((F.col("h") % 6) * 1200).alias("amp"),
-        ((tx * 3515625) / 16).cast("long").alias("ex"),
-        (((ty + 1) * 3515625) / 16).cast("long").alias("ey"),
-    ).select(
-        "d", "amp",
-        (F.col("ex") - 1800000000 + 30000).cast("int").alias("x0"),
-        (F.lit(1800000000) - F.col("ey") + 30000).cast("int").alias("y0"))
+        (F.lit(8600) + F.col("h") % 16).alias("tx"),
+        (F.lit(5750) + h2 % 16).alias("ty"))).select("d", "amp", "x0", "y0")
     # vertices CCW: C0, C1, B(right-edge bump), C2, C3
     vx = [F.col("x0"), F.col("x0") + _SQ, F.col("x0") + _SQ + F.col("amp"),
           F.col("x0") + _SQ, F.col("x0")]
     vy = [F.col("y0"), F.col("y0"), F.col("y0") + _SQ // 2,
           F.col("y0") + _SQ, F.col("y0") + _SQ]
-    empty_tags = F.map_from_arrays(F.array().cast("array<string>"),
-                                   F.array().cast("array<string>"))
+    empty_tags = _empty_tags()
     verts = pr.select("*", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"))
     lon = F.element_at(F.array(*vx), F.col("j") + 1)
     lat = F.element_at(F.array(*vy), F.col("j") + 1)
@@ -454,49 +483,21 @@ def _probe_poly_stores(docs: DataFrame):
         F.map_from_arrays(F.array(F.lit("building")),
                           F.array(F.lit("yes"))).alias("tags"),
         F.col("d").cast("string").alias("src"))
-    rels = docs.sparkSession.createDataFrame(
-        [], "rel_id long, outer_refs array<long>, inner_refs array<long>, "
-            "tags map<string,string>, src string")
-    return nodes, ways, rels
+    return nodes, ways, _empty_rels(docs.sparkSession)
 
 
 def q_tile_bytes_simplify_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G10 RING arm driver row: active Douglas-Peucker on polygon rings
     inside the real encode path, wire-verified against the closed-form
     corner/bump survival oracle + kernel CRC re-derivation."""
-    from . import pipeline
     from .config import Config
 
     cfg = Config.from_json(_SIMPLIFY_POLY_CFG_JSON)
-    docs = load_docs(spark, sf_dir)
-    nodes, ways, rels = _probe_poly_stores(docs)
-    feats = pipeline.build_features(nodes, ways, rels).localCheckpoint()
-    assigned = tileassign.assign_base_tiles(feats, 14)
-    rolled = tileassign.rollup_to_zoom(assigned, 14, 14)
-    tiles = pipeline.encode_zoom(rolled, cfg)
-
-    wire = (tiles.select("x", "y", "tile")
-            .mapInPandas(_wire_decoder(("building",), 3),
-                         schema=_RESULT_SCHEMA))
     tol = cfg.layers["building"].simplify_tolerance(14, 0)
     assert tol > 0.0
-    exp = (_expected_stats(assigned, 3, tol=tol)
-           .groupBy("x", "y")
-           .agg(F.count(F.lit(1)).alias("n_em"),
-                F.sum("crc").alias("e_hsum"),
-                F.expr("bit_xor(crc)").alias("e_hxor"),
-                F.expr("bool_and(whole)").alias("all_in")))
-    j = wire.join(exp, ["x", "y"], "full")
-    geom_ok = F.coalesce(
-        (F.col("n_feats") == F.col("n_em"))
-        & (F.col("hsum") == F.col("e_hsum"))
-        & (F.col("hxor") == F.col("e_hxor")), F.lit(False))
-    gate = F.coalesce(F.col("all_in"), F.lit(False))
-    return j.select(
-        "x", "y", "n_feats", "n_close",
-        F.when(gate, F.col("n_pts")).otherwise(F.lit(-1)).alias("pts_in"),
-        F.when(gate, F.col("sum_px")).otherwise(F.lit(-1)).alias("spx_in"),
-        geom_ok.alias("geom_ok"))
+    assigned, wire = _run_probe_pipeline(spark, sf_dir, cfg,
+                                         _probe_poly_stores, "building", 3)
+    return _gated_verify(wire, assigned, 3, tol, ("n_feats", "n_close"))
 
 
 # ------------------------------------- A5 combine x G10 simplify interplay
@@ -524,12 +525,11 @@ def _probe_combine_stores(docs: DataFrame):
     d = geocode.doc_num_col(docs)
     base = docs.select(d.alias("d"), geocode._h(d).alias("h"))
     h2 = geocode._h2(F.col("h"))
-    tx = F.lit(8600) + F.col("h") % 16
-    ty = F.lit(5750) + h2 % 16
     pr = base.select(
         "d",
         ((F.col("h") % 6) * 1200).alias("amp"),
-        tx.alias("tx"), ty.alias("ty"))
+        (F.lit(8600) + F.col("h") % 16).alias("tx"),
+        (F.lit(5750) + h2 % 16).alias("ty"))
     w = Window.partitionBy("tx", "ty").orderBy("d")
     pr = pr.withColumn("rank", F.row_number().over(w) - 1)
     # Y-slot capacity: slots live at 30000 + rank*2500 (+ amp <= 6000)
@@ -539,18 +539,10 @@ def _probe_combine_stores(docs: DataFrame):
     # slots (sf1-class: ~195 probes/tile) instead of silently leaking
     # probes into the tile above.
     pr = pr.where(F.col("rank") < 64)
-    pr = pr.select(
-        "d", "amp",
-        ((F.col("tx") * 3515625) / 16).cast("long").alias("ex"),
-        (((F.col("ty") + 1) * 3515625) / 16).cast("long").alias("ey"),
-        "rank",
-    ).select(
-        "d", "amp",
-        (F.col("ex") - 1800000000 + 30000).cast("int").alias("x0"),
-        (F.lit(1800000000) - F.col("ey") + 30000
-         + F.col("rank") * 2500).cast("int").alias("y0"))
-    empty_tags = F.map_from_arrays(F.array().cast("array<string>"),
-                                   F.array().cast("array<string>"))
+    pr = _snap30k(pr).select(
+        "d", "amp", "x0",
+        (F.col("y0") + F.col("rank") * 2500).cast("int").alias("y0"))
+    empty_tags = _empty_tags()
     verts = pr.select("*", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"))
     nodes = verts.select(
         (F.col("d") * 4 + F.col("j")).alias("node_id"),
@@ -566,30 +558,19 @@ def _probe_combine_stores(docs: DataFrame):
         F.map_from_arrays(F.array(F.lit("highway")),
                           F.array(F.lit("primary"))).alias("tags"),
         F.col("d").cast("string").alias("src"))
-    rels = docs.sparkSession.createDataFrame(
-        [], "rel_id long, outer_refs array<long>, inner_refs array<long>, "
-            "tags map<string,string>, src string")
-    return nodes, ways, rels
+    return nodes, ways, _empty_rels(docs.sparkSession)
 
 
 def q_tile_bytes_combine_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 combine + active G10 on the merged feature, wire-verified:
     one feature per tile, one MoveTo per merged tent, closed-form
     surviving vertex and pixel-x sums."""
-    from . import pipeline
     from .config import Config
 
     cfg = Config.from_json(_COMBINE_CFG_JSON)
     assert cfg.combine_similar
-    docs = load_docs(spark, sf_dir)
-    nodes, ways, rels = _probe_combine_stores(docs)
-    feats = pipeline.build_features(nodes, ways, rels).localCheckpoint()
-    assigned = tileassign.assign_base_tiles(feats, 14)
-    rolled = tileassign.rollup_to_zoom(assigned, 14, 14)
-    tiles = pipeline.encode_zoom(rolled, cfg)
-    wire = (tiles.select("x", "y", "tile")
-            .mapInPandas(_wire_decoder(("transportation",), 2),
-                         schema=_RESULT_SCHEMA))
+    _, wire = _run_probe_pipeline(spark, sf_dir, cfg,
+                                  _probe_combine_stores, "transportation", 2)
     return wire.select("x", "y", "n_feats", "n_parts",
                        F.col("n_pts").alias("pts_in"),
                        F.col("sum_px").alias("spx_in"))
@@ -636,18 +617,12 @@ def _probe_spike_stores(docs: DataFrame):
     d = geocode.doc_num_col(docs)
     base = docs.select(d.alias("d"), geocode._h(d).alias("h"))
     h2 = geocode._h2(F.col("h"))
-    tx = F.lit(8500) + F.col("h") % 16
-    ty = F.lit(5800) + h2 % 16
-    pr = base.select(
+    pr = _snap30k(base.select(
         "d",
         (F.col("h") % 4).alias("cls"),
         (F.lit(12000) + (h2 % 3) * 4000).alias("sq"),
-        ((tx * 3515625) / 16).cast("long").alias("ex"),
-        (((ty + 1) * 3515625) / 16).cast("long").alias("ey"),
-    ).select(
-        "d", "cls", "sq",
-        (F.col("ex") - 1800000000 + 30000).cast("int").alias("x0"),
-        (F.lit(1800000000) - F.col("ey") + 30000).cast("int").alias("y0"))
+        (F.lit(8500) + F.col("h") % 16).alias("tx"),
+        (F.lit(5800) + h2 % 16).alias("ty"))).select("d", "cls", "sq", "x0", "y0")
     # vertex table j=0..5: four corners CCW + the two spike vertices on
     # the top edge (S1 overshoots C2 by 4000, S2 by 2000)
     vx = [F.col("x0"), F.col("x0") + F.col("sq"), F.col("x0") + F.col("sq"),
@@ -656,8 +631,7 @@ def _probe_spike_stores(docs: DataFrame):
     vy = [F.col("y0"), F.col("y0"), F.col("y0") + F.col("sq"),
           F.col("y0") + F.col("sq"), F.col("y0") + F.col("sq"),
           F.col("y0") + F.col("sq")]
-    empty_tags = F.map_from_arrays(F.array().cast("array<string>"),
-                                   F.array().cast("array<string>"))
+    empty_tags = _empty_tags()
     verts = pr.select("*", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("j"))
     nodes = verts.select(
         (F.col("d") * 8 + F.col("j")).alias("node_id"),
@@ -678,47 +652,21 @@ def _probe_spike_stores(docs: DataFrame):
         F.map_from_arrays(F.array(F.lit("building")),
                           F.array(F.lit("yes"))).alias("tags"),
         F.col("d").cast("string").alias("src"))
-    rels = docs.sparkSession.createDataFrame(
-        [], "rel_id long, outer_refs array<long>, inner_refs array<long>, "
-            "tags map<string,string>, src string")
-    return nodes, ways, rels
+    return nodes, ways, _empty_rels(docs.sparkSession)
 
 
 def q_tile_bytes_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G12 driver row: duplicate-vertex + (chained) spike repair inside
     the real encode path, wire-verified against the closed-form
     repaired-square oracle + kernel CRC re-derivation."""
-    from . import pipeline
     from .config import Config
 
     cfg = Config.from_json(_SPIKE_CFG_JSON)
     assert cfg.layers["building"].simplify_tolerance(14, 0) == 0.0
-    docs = load_docs(spark, sf_dir)
-    nodes, ways, rels = _probe_spike_stores(docs)
-    feats = pipeline.build_features(nodes, ways, rels).localCheckpoint()
-    assigned = tileassign.assign_base_tiles(feats, 14)
-    rolled = tileassign.rollup_to_zoom(assigned, 14, 14)
-    tiles = pipeline.encode_zoom(rolled, cfg)
-    wire = (tiles.select("x", "y", "tile")
-            .mapInPandas(_wire_decoder(("building",), 3),
-                         schema=_RESULT_SCHEMA))
-    exp = (_expected_stats(assigned, 3, tol=0.0)
-           .groupBy("x", "y")
-           .agg(F.count(F.lit(1)).alias("n_em"),
-                F.sum("crc").alias("e_hsum"),
-                F.expr("bit_xor(crc)").alias("e_hxor"),
-                F.expr("bool_and(whole)").alias("all_in")))
-    j = wire.join(exp, ["x", "y"], "full")
-    geom_ok = F.coalesce(
-        (F.col("n_feats") == F.col("n_em"))
-        & (F.col("hsum") == F.col("e_hsum"))
-        & (F.col("hxor") == F.col("e_hxor")), F.lit(False))
-    gate = F.coalesce(F.col("all_in"), F.lit(False))
-    return j.select(
-        "x", "y", "n_feats", "n_parts", "n_close",
-        F.when(gate, F.col("n_pts")).otherwise(F.lit(-1)).alias("pts_in"),
-        F.when(gate, F.col("sum_px")).otherwise(F.lit(-1)).alias("spx_in"),
-        geom_ok.alias("geom_ok"))
+    assigned, wire = _run_probe_pipeline(spark, sf_dir, cfg,
+                                         _probe_spike_stores, "building", 3)
+    return _gated_verify(wire, assigned, 3, 0.0,
+                         ("n_feats", "n_parts", "n_close"))
 
 
 QUERIES = {
