@@ -484,9 +484,8 @@ class TestBatchedCover:
                     polys.append([(lo, la)])
                 rows.append((geompack.KIND_POLYGON, geompack.pack_polygon(polys)))
 
-        kind = pd.Series([k for k, _ in rows])
         geom = pd.Series([b for _, b in rows])
-        batched = tileassign._cover_udf(z).func(kind, geom)
+        batched = tileassign._cover_udf(z).func(geom)
 
         for i, (k, buf) in enumerate(rows):
             gk, payload = geompack.unpack(bytes(buf))

@@ -64,6 +64,49 @@ def test_pyramid_rollup_consistency(tiles):
         assert (x >> 8, y >> 8) in by_z[6]
 
 
+def test_rollup_dedup_is_attribute_aware(spark):
+    """U3 identity parity: the reference's OutputObject equality keys on
+    (layer, geomType, ATTRIBUTES, objectID) (src/output_object.cpp:142-148),
+    so two emissions of one object to the same layer with DIFFERENT
+    attrs are distinct objects and must both survive the rollup dedup,
+    while true duplicates (same attrs, many base cells -> one parent
+    tile) still collapse. Also pins the injective length-prefixed `_ak`
+    framing: a crafted attr VALUE that would alias a two-entry map
+    under plain-separator framing must stay a distinct identity."""
+    from tilemaker_spark import tileassign
+
+    # old plain-separator framing rendered {"a":"x","b":"y"} as
+    # "a<RS>s<GS>x<FS>b<RS>s<GS>y" — the single-entry map below embeds
+    # exactly that tail in its value, so without length prefixes the
+    # two keys collide and dedup would silently drop one feature
+    alias = {"a": "x\x1fb\x1es\x1dy"}
+    two = {"a": "x", "b": "y"}
+    rows = [
+        # same identity, different string attrs: BOTH must survive
+        (100, 200, "place", 1, "node", 7, {"name": "a"}, {}, {}),
+        (100, 200, "place", 1, "node", 7, {"name": "b"}, {}, {}),
+        # same attrs on two base cells under one z12 parent: collapse
+        (100, 200, "water", 3, "way", 8, {}, {"area": 1.5}, {}),
+        (101, 201, "water", 3, "way", 8, {}, {"area": 1.5}, {}),
+        # numeric attr differs: both survive
+        (100, 200, "water", 3, "way", 9, {}, {"area": 1.5}, {}),
+        (100, 200, "water", 3, "way", 9, {}, {"area": 2.5}, {}),
+        # the would-be alias pair: both survive (injective framing)
+        (100, 200, "poi", 1, "node", 10, alias, {}, {}),
+        (100, 200, "poi", 1, "node", 10, two, {}, {}),
+    ]
+    df = spark.createDataFrame(
+        rows, "tile_x INT, tile_y INT, layer STRING, kind INT, elem STRING, "
+              "object_id LONG, attrs MAP<STRING,STRING>, "
+              "attrs_num MAP<STRING,DOUBLE>, attrs_bool MAP<STRING,BOOLEAN>")
+    out = tileassign.rollup_to_zoom(df, 12, 14).collect()
+    per_obj = {}
+    for r in out:
+        per_obj[r["object_id"]] = per_obj.get(r["object_id"], 0) + 1
+    assert per_obj == {7: 2, 8: 1, 9: 2, 10: 2}
+    assert "_akd" not in out[0].asDict()
+
+
 def test_tiles_gzip_mvt(tiles):
     """Tiles decompress and parse as MVT protobuf (independent parser)."""
     r = tiles.where((F.col("z") == 14) & (F.col("feature_count") > 0)).first()
@@ -500,6 +543,14 @@ def test_jpeg_decode_roundtrip_and_thirdparty():
 
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"nope")
+
+    # parse-error contract: TRUNCATED input (mid-header, mid-segment,
+    # mid-scan) must surface as ValueError, never a raw IndexError /
+    # struct.error out of the bit reader or unpack_from
+    buf = jpeg.encode_dc_jpeg(32, 24, 7)
+    for cut in (5, 30, len(buf) // 2):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(buf[:cut])
 
 
 def test_pip_big_path_no_broadcast(spark):

@@ -351,6 +351,73 @@ def test_combine_unions_same_attr_polygons(spark):
     assert bytes(again[0]["tile"]) == bytes(combined[0]["tile"])
 
 
+def test_combine_never_merges_centroids(spark):
+    """A LayerAsCentroid feature never joins a --combine run: the
+    reference merges only LINESTRING/POLYGON geomTypes with equal
+    attributes — a CENTROID object always breaks the run and is written
+    individually (tile_worker.cpp:66-99,110-147). Two adjacent same-attr
+    as_centroid polygons must emit TWO point features, and the plain
+    polygon after them must still emit as a polygon."""
+    x, y = _tile_xy()
+    bb = M.TileBbox(x, y, TILE_Z)
+    cx = int((bb.min_lon + bb.max_lon) / 2 * 1e7)
+    cy = int((bb.min_latp + bb.max_latp) / 2 * 1e7)
+    r = 8000
+    rows = [
+        (TILE_Z, x, y, 1, "way", "building", 3, {}, {}, {}, True,
+         bytearray(_octagon_geom(cx - 3 * r, cy, r)), None, None),
+        (TILE_Z, x, y, 2, "way", "building", 3, {}, {}, {}, True,
+         bytearray(_octagon_geom(cx, cy, r)), None, None),
+        (TILE_Z, x, y, 3, "way", "building", 3, {}, {}, {}, False,
+         bytearray(_octagon_geom(cx + 3 * r, cy, r)), None, None),
+    ]
+    cfg = default_config()
+    cfg.compress = False
+    cfg.combine_similar = True
+    out = encode_zoom(_assigned_df(spark, rows), cfg).collect()
+    assert len(out) == 1
+    assert out[0]["feature_count"] == 3   # pre-fix: 1 (run swallowed all)
+    (layer,) = parse_tile(bytes(out[0]["tile"]))
+    gts = sorted(gt for gt, _cmds, _tags in layer["features"])
+    assert gts == [1, 1, 3]               # two individual centroids + polygon
+
+
+def test_layer_as_centroid_on_line_way(spark):
+    """LayerAsCentroid on a LINE way: the reference converts the way's
+    point list to a polygon ring and takes the polygon centroid
+    (osm_lua_processing.cpp:284-310); a zero-area (collinear) way throws
+    centroid_exception there and the feature is DROPPED. Pre-fix this
+    path crashed unpacking the line payload as rings."""
+    x, y = _tile_xy()
+    bb = M.TileBbox(x, y, TILE_Z)
+    cx = int((bb.min_lon + bb.max_lon) / 2 * 1e7)
+    cy = int((bb.min_latp + bb.max_latp) / 2 * 1e7)
+    g_tri = geompack.pack_line([(np.array([cx, cx + 16000, cx + 16000], np.int64),
+                                 np.array([cy, cy, cy + 16000], np.int64))])
+    g_flat = geompack.pack_line([(np.array([cx, cx + 8000, cx + 16000], np.int64),
+                                  np.array([cy, cy, cy], np.int64))])
+    rows = [
+        (TILE_Z, x, y, 1, "way", "transportation", 2, {}, {}, {}, True,
+         bytearray(g_tri), None, None),
+        (TILE_Z, x, y, 2, "way", "transportation", 2, {}, {}, {}, True,
+         bytearray(g_flat), None, None),
+    ]
+    cfg = default_config()
+    cfg.compress = False
+    out = encode_zoom(_assigned_df(spark, rows), cfg).collect()
+    assert len(out) == 1
+    assert out[0]["feature_count"] == 1   # collinear way dropped
+    (layer,) = parse_tile(bytes(out[0]["tile"]))
+    (gt, cmds, _tags), = layer["features"]
+    assert gt == 1                        # emitted as a POINT
+    # triangle ring centroid = vertex mean; same scale call as the engine
+    ccx = (3 * cx + 32000) / 3 / 1e7
+    ccy = (3 * cy + 16000) / 3 / 1e7
+    px, py = bb.scale_latp_lon(np.array([ccy]), np.array([ccx]))
+    vx, vy = int(px[0]), int(py[0])
+    assert list(cmds[:3]) == [9, (vx << 1) ^ (vx >> 63), (vy << 1) ^ (vy >> 63)]
+
+
 def test_combine_config_parity(spark):
     """`combine` is settable from settings JSON and defaults ON like the
     reference CLI (src/tilemaker.cpp:79); the combine golden reproduces

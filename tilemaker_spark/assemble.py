@@ -148,6 +148,15 @@ def assemble_relation_geometries(rel_features: DataFrame, relations: DataFrame,
                 return lo, la
 
             polys = []
+            # Deliberate reference parity: each inner ring is attached
+            # to EVERY outer that contains it, exactly like the
+            # reference's per-outer `geom::within(inner, poly.outer())`
+            # loop (include/osm_store.h:241-250). For a nested
+            # lake->island->pond relation this duplicates the pond hole
+            # under both outers (flipping even-odd parity there) — an
+            # ideal assembler would attach each inner to its SMALLEST
+            # containing outer, but the contract here is matching the
+            # reference's output, not improving on it.
             for o in outers:
                 ox, oy = ring_xy(o)
                 ox, oy = geomops.correct_winding(ox, oy, outer=True)

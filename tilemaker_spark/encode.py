@@ -55,10 +55,45 @@ _OUT_COLS = ["z", "x", "y", "order_idx", "layer_bytes", "feature_count",
              "layer_hash", "raw_bytes"]
 
 
-# The canonical A4 attribute key (`_ak`) is derived ONCE, as a Catalyst
-# expression in encode_zoom — there is deliberately no Python twin (a
-# Python re-derivation would drift on double rendering: repr(1e20) vs
-# Spark CAST(double AS STRING)).
+# The canonical A4 attribute key (`_ak`) is derived ONCE, by attrs_key
+# below — there is deliberately no Python twin (a Python re-derivation
+# would drift on double rendering: repr(1e20) vs Spark CAST(double AS
+# STRING)).
+
+
+def attrs_key(has_num: bool = True, has_bool: bool = True):
+    """Canonical attribute-identity key as a Catalyst expression.
+
+    The reference's OutputObject equality and ordering compare the
+    attribute MAP itself (src/output_object.cpp:142-162); Spark cannot
+    group/dedup on MapType, so the maps are rendered to one canonical
+    string. The framing is INJECTIVE: each entry is length-prefixed
+    (``len(key):key<RS><type><GS>`` then ``N`` for a NULL value or
+    ``len(val):val``), so a free-form attribute value containing the
+    separator or join bytes cannot fabricate entry boundaries — with
+    plain separators, {"a": "1<GS>b<RS>s<FS>2"} would alias
+    {"a": "1", "b": "2"}, silently merging distinct features under A4
+    dedup / A5 combine. Shared by encode_zoom (A4 sort + dedup, A5
+    combine classes) and tileassign's rollup dedup (U3 parity with the
+    reference's attribute-aware identity)."""
+    from pyspark.sql import functions as F
+
+    def _entries(entries, tc: str, cast: bool):
+        def one(e):
+            v = e["value"].cast("string") if cast else e["value"]
+            return F.concat(
+                F.length(e["key"]).cast("string"), F.lit(":"),
+                e["key"], F.lit("\x1e" + tc + "\x1d"),
+                F.when(v.isNull(), F.lit("N")).otherwise(
+                    F.concat(F.length(v).cast("string"), F.lit(":"), v)))
+        return F.transform(entries, one)
+
+    parts = [_entries(F.map_entries("attrs"), "s", cast=False)]
+    if has_num:
+        parts.append(_entries(F.map_entries("attrs_num"), "f", cast=True))
+    if has_bool:
+        parts.append(_entries(F.map_entries("attrs_bool"), "b", cast=True))
+    return F.array_join(F.array_sort(F.concat(*parts)), "\x1f")
 
 # ------------------------------------------------------- geometry encoding
 
@@ -158,9 +193,31 @@ def _centroid_cmds(geom_buf, lonv, latpv, bb, box):
     """Point / LayerAsCentroid feature -> command array or None (G7)."""
     if geom_buf is not None:
         gk, payload = geompack.unpack(bytes(geom_buf))
-        rings_f = [[(lo / 1e7, la / 1e7) for lo, la in rings] for rings in payload]
-        cx, cy = geomops.multipolygon_centroid(
-            [[(np.asarray(xx), np.asarray(yy)) for xx, yy in rings] for rings in rings_f])
+        if gk == geompack.KIND_POINT:
+            cx, cy = payload[0] / 1e7, payload[1] / 1e7
+        else:
+            if gk == geompack.KIND_LINE:
+                # LayerAsCentroid on a way: the reference treats the
+                # way's point list as a POLYGON ring and takes the
+                # polygon centroid (osm_lua_processing.cpp:284-292
+                # assign_points -> geom::centroid); a zero-area
+                # (collinear / 2-point) way throws centroid_exception
+                # there and the feature is DROPPED — exact integer
+                # shoelace reproduces that drop decision here.
+                area2 = 0
+                for xs, ys in payload:
+                    area2 += int(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+                    area2 += int(xs[-1] * ys[0] - xs[0] * ys[-1])
+                if area2 == 0:
+                    return None
+                polys = [[part] for part in payload]
+            else:
+                polys = payload
+            rings_f = [[(lo / 1e7, la / 1e7) for lo, la in rings]
+                       for rings in polys]
+            cx, cy = geomops.multipolygon_centroid(
+                [[(np.asarray(xx), np.asarray(yy)) for xx, yy in rings]
+                 for rings in rings_f])
     else:
         cx, cy = lonv / 1e7, latpv / 1e7
     if not C.clip_point(cx, cy, box):
@@ -232,12 +289,18 @@ def _gen_features(cols, sel, tol, bb, box, combine):
         ri = sel[i]
         kindv = int(kind_a[ri])
         # A5 --combine: adjacent same-(kind, attrs) run -> one merged
-        # feature (reference: CheckNextObjectAndMerge)
+        # feature (reference: CheckNextObjectAndMerge). as_centroid
+        # rows never merge and never join a run: the reference's merge
+        # requires geomType equality and only handles LINESTRING /
+        # POLYGON — a CENTROID object always breaks the run and is
+        # written individually (tile_worker.cpp:66-99,110-147).
         j = i + 1
-        if combine and kindv in (2, 3) and geom_a[ri] is not None:
+        if (combine and kindv in (2, 3) and geom_a[ri] is not None
+                and not asc_a[ri]):
             while (j < n_sel and int(kind_a[sel[j]]) == kindv
                    and ak_a[sel[j]] == ak_a[ri]
-                   and geom_a[sel[j]] is not None):
+                   and geom_a[sel[j]] is not None
+                   and not asc_a[sel[j]]):
                 j += 1
         run = sel[i:j]
         i = j
@@ -309,31 +372,52 @@ def _cols_from_pdf(pdf: pd.DataFrame) -> dict:
     }
 
 
+def _tag_indices(dicts, tag_cache: dict, akv, sattrs, nattrs, battrs) -> list:
+    """A8/G17 dictionary-encoded tag index list for one attr class.
+
+    Indices are a pure function of the attrs (== the canonical `_ak`)
+    given the dictionary's first-occurrence registration, so they are
+    cached per (tile, layer) group under the `_ak` value. ONE shared
+    implementation: the single-stage stream encoder and the salted
+    stage-2 assembler must produce byte-identical layers (parity pinned
+    by tests), so the registration order here is the contract."""
+    tag_idx = tag_cache.get(akv)
+    if tag_idx is None:
+        tag_idx = []
+        if sattrs:
+            for k in sorted(sattrs):
+                tag_idx.append(dicts.key_index(k))
+                tag_idx.append(dicts.value_index(sattrs[k]))
+        if nattrs:
+            for k in sorted(nattrs):
+                tag_idx.append(dicts.key_index(k))
+                tag_idx.append(dicts.value_index(float(nattrs[k])))
+        if battrs:
+            for k in sorted(battrs):
+                tag_idx.append(dicts.key_index(k))
+                tag_idx.append(dicts.value_index(bool(battrs[k])))
+        tag_cache[akv] = tag_idx
+    return tag_idx
+
+
+def _seg_starts(n: int, *arrays) -> np.ndarray:
+    """Boundary offsets of the contiguous equal-key segments of
+    ``arrays`` (all length n, pre-sorted): [0, ...changes, n]."""
+    masks = [a[1:] != a[:-1] for a in arrays]
+    return np.concatenate(
+        ([0], np.flatnonzero(np.logical_or.reduce(masks)) + 1, [n]))
+
+
 def _group_stream(batch_fn, pdf_key_cols):
     """mapInPandas wrapper: re-batch the Arrow stream so no
     ``pdf_key_cols`` group straddles a batch handed to ``batch_fn``
-    (groups are contiguous — the partition is sorted by these keys)."""
-    def stream(batches):
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            n = len(pdf)
-            if n == 0:
-                continue
-            masks = []
-            for c in pdf_key_cols:
-                a = pdf[c].to_numpy()  # int64 or object — both != elementwise
-                masks.append(a[1:] != a[:-1])
-            change = np.flatnonzero(np.logical_or.reduce(masks)) + 1
-            last_start = int(change[-1]) if len(change) else 0
-            carry = pdf.iloc[last_start:]
-            if last_start:
-                yield batch_fn(pdf.iloc[:last_start])
-        if carry is not None and len(carry):
-            yield batch_fn(carry)
-    return stream
+    (groups are contiguous — the partition is sorted by these keys).
+    Thin adapter over the ONE shared carry/boundary implementation
+    (streamgroups.stream_grouped) — the AQE-sensitive contract lives
+    there, see the streamgroups module docstring."""
+    from .streamgroups import stream_grouped
+
+    return stream_grouped(list(pdf_key_cols), batch_fn)
 
 
 def make_stream_encoder(cfg: Config):
@@ -393,29 +477,10 @@ def make_stream_encoder(cfg: Config):
 
         def emit(gt, cmds, row_i, geom_bytes=None):
             nonlocal n_feats, ghash
-            # tag indices are a pure function of the attrs (== _ak) given
-            # the dictionary's first-occurrence registration — cache per
-            # group so repeated attribute sets skip the dict walks
-            akv = ak_col[row_i]
-            tag_idx = tag_cache.get(akv)
-            if tag_idx is None:
-                tag_idx = []
-                sattrs = attrs_a[row_i]
-                if sattrs:
-                    for k in sorted(sattrs):
-                        tag_idx.append(dicts.key_index(k))
-                        tag_idx.append(dicts.value_index(sattrs[k]))
-                nattrs = anum_a[row_i] if anum_a is not None else None
-                if nattrs:
-                    for k in sorted(nattrs):
-                        tag_idx.append(dicts.key_index(k))
-                        tag_idx.append(dicts.value_index(float(nattrs[k])))
-                battrs = abool_a[row_i] if abool_a is not None else None
-                if battrs:
-                    for k in sorted(battrs):
-                        tag_idx.append(dicts.key_index(k))
-                        tag_idx.append(dicts.value_index(bool(battrs[k])))
-                tag_cache[akv] = tag_idx
+            tag_idx = _tag_indices(
+                dicts, tag_cache, ak_col[row_i], attrs_a[row_i],
+                anum_a[row_i] if anum_a is not None else None,
+                abool_a[row_i] if abool_a is not None else None)
             if geom_bytes is None:
                 geom_bytes = mvt.varint_array(cmds)
             feats.append(mvt.encode_feature_raw(
@@ -447,12 +512,7 @@ def make_stream_encoder(cfg: Config):
     def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = _cols_from_pdf(pdf)
         n = len(pdf)
-        z, x, y, ol = cols["z"], cols["x"], cols["y"], cols["ol"]
-        starts = np.concatenate((
-            [0],
-            np.flatnonzero((z[1:] != z[:-1]) | (x[1:] != x[:-1])
-                           | (y[1:] != y[:-1]) | (ol[1:] != ol[:-1])) + 1,
-            [n]))
+        starts = _seg_starts(n, cols["z"], cols["x"], cols["y"], cols["ol"])
         out_rows: list = []
         for si in range(len(starts) - 1):
             _encode_run(cols, int(starts[si]), int(starts[si + 1]), out_rows)
@@ -545,15 +605,8 @@ def make_feature_encoder(cfg: Config):
     def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = _cols_from_pdf(pdf)
         n = len(pdf)
-        z, x, y = cols["z"], cols["x"], cols["y"]
-        ol, layer, kind, ak = cols["ol"], cols["layer"], cols["kind"], cols["ak"]
-        starts = np.concatenate((
-            [0],
-            np.flatnonzero((z[1:] != z[:-1]) | (x[1:] != x[:-1])
-                           | (y[1:] != y[:-1]) | (ol[1:] != ol[:-1])
-                           | (layer[1:] != layer[:-1]) | (kind[1:] != kind[:-1])
-                           | (ak[1:] != ak[:-1])) + 1,
-            [n]))
+        starts = _seg_starts(n, cols["z"], cols["x"], cols["y"], cols["ol"],
+                             cols["layer"], cols["kind"], cols["ak"])
         out_rows: list = []
         for si in range(len(starts) - 1):
             _encode_seg(cols, int(starts[si]), int(starts[si + 1]), out_rows)
@@ -586,26 +639,8 @@ def make_layer_assembler(cfg: Config):
         ghash = 0
         tag_cache: dict = {}
         for i in range(s, e):
-            akv = ak_a[i]
-            tag_idx = tag_cache.get(akv)
-            if tag_idx is None:
-                tag_idx = []
-                sattrs = attrs_a[i]
-                if sattrs:
-                    for k in sorted(sattrs):
-                        tag_idx.append(dicts.key_index(k))
-                        tag_idx.append(dicts.value_index(sattrs[k]))
-                nattrs = anum_a[i]
-                if nattrs:
-                    for k in sorted(nattrs):
-                        tag_idx.append(dicts.key_index(k))
-                        tag_idx.append(dicts.value_index(float(nattrs[k])))
-                battrs = abool_a[i]
-                if battrs:
-                    for k in sorted(battrs):
-                        tag_idx.append(dicts.key_index(k))
-                        tag_idx.append(dicts.value_index(bool(battrs[k])))
-                tag_cache[akv] = tag_idx
+            tag_idx = _tag_indices(dicts, tag_cache, ak_a[i],
+                                   attrs_a[i], anum_a[i], abool_a[i])
             gt = int(gt_a[i])
             feats.append(mvt.encode_feature_raw(
                 gt, bytes(gb_a[i]), tag_idx,
@@ -636,12 +671,8 @@ def make_layer_assembler(cfg: Config):
             "abool": pdf["attrs_bool"].to_numpy(dtype=object),
         }
         n = len(pdf)
-        z, x, y, oi = cols["z"], cols["x"], cols["y"], cols["order_idx"]
-        starts = np.concatenate((
-            [0],
-            np.flatnonzero((z[1:] != z[:-1]) | (x[1:] != x[:-1])
-                           | (y[1:] != y[:-1]) | (oi[1:] != oi[:-1])) + 1,
-            [n]))
+        starts = _seg_starts(n, cols["z"], cols["x"], cols["y"],
+                             cols["order_idx"])
         out_rows: list = []
         for si in range(len(starts) - 1):
             _assemble_group(cols, int(starts[si]), int(starts[si + 1]), out_rows)
@@ -678,23 +709,7 @@ def encode_zoom(assigned: DataFrame, cfg: Config,
                           for x in (F.lit(name), F.lit(ld.maxzoom))])
     has_num = "attrs_num" in assigned.columns
     has_bool = "attrs_bool" in assigned.columns
-    ak_parts = [F.transform(F.map_entries("attrs"),
-                            lambda e: F.concat_ws("\x1d",
-                                                  F.concat_ws("\x1e", e["key"], F.lit("s")),
-                                                  e["value"]))]
-    if has_num:
-        ak_parts.append(F.transform(
-            F.map_entries("attrs_num"),
-            lambda e: F.concat_ws("\x1d",
-                                  F.concat_ws("\x1e", e["key"], F.lit("f")),
-                                  e["value"].cast("string"))))
-    if has_bool:
-        ak_parts.append(F.transform(
-            F.map_entries("attrs_bool"),
-            lambda e: F.concat_ws("\x1d",
-                                  F.concat_ws("\x1e", e["key"], F.lit("b")),
-                                  e["value"].cast("string"))))
-    ak = F.array_join(F.array_sort(F.concat(*ak_parts)), "\x1f")
+    ak = attrs_key(has_num, has_bool)
     out_layer = F.create_map(*[x for name in cfg.layers
                                for x in (F.lit(name), F.lit(cfg.output_layer_of(name)))])
     eligible = (assigned
@@ -833,11 +848,17 @@ def encode_zoom(assigned: DataFrame, cfg: Config,
             allowed.append((zz, xlo, xhi, ylo, yhi))
         cond = None
         for zz, xlo, xhi, ylo, yhi in allowed:
-            # strict overlap test matching the per-group F7 skip: a tile
-            # [x, x+1) overlaps iff x in [floor(minx), ceil(maxx)-1]
+            # integer PREFILTER, widened by one tile each side: if a
+            # bbox edge sits within a float ULP of a tile boundary,
+            # lon2tilex/lat2tileyf here could round one tile tighter
+            # than the exact TileBbox floats the per-group encoder and
+            # the `overlaps` UDF below agree on — a strict range would
+            # then drop an encoded tile from the coord set entirely.
+            # The ±1 slack keeps this a superset; `overlaps` is the
+            # exact test.
             c = ((F.col("z") == zz)
-                 & (F.col("x") >= xlo) & (F.col("x") <= xhi)
-                 & (F.col("y") >= ylo) & (F.col("y") <= yhi))
+                 & (F.col("x") >= xlo - 1) & (F.col("x") <= xhi + 1)
+                 & (F.col("y") >= ylo - 1) & (F.col("y") <= yhi + 1))
             cond = c if cond is None else (cond | c)
         # tiles whose shared edge only touches the bbox are excluded by
         # the per-group encoder; mirror with the exact TileBbox floats

@@ -36,7 +36,9 @@ def point_tile_expr(lon_col, latp_col, zoom: int):
 
 def _cover_udf(base_zoom: int):
     @pandas_udf(ArrayType(LongType()))
-    def cover(kind: pd.Series, geom: pd.Series) -> pd.Series:
+    def cover(geom: pd.Series) -> pd.Series:
+        # geometry kind comes from the packed buffer itself (geompack
+        # header), so only the geom column ships through Arrow
         # Flatten the whole Arrow batch into one coordinate soup and run
         # ONE vectorized DDA walk + ONE scanline fill over it, instead of
         # a Python call per chain (the per-row dispatch dominated for the
@@ -125,7 +127,7 @@ def assign_base_tiles(features: DataFrame, base_zoom: int = 14) -> DataFrame:
         geoms = geoms.repartition(python_stage_partitions(features.sparkSession))
     cover = _cover_udf(base_zoom)
     geoms_assigned = (
-        geoms.withColumn("tile_id", F.explode(cover(F.col("kind"), F.col("geom"))))
+        geoms.withColumn("tile_id", F.explode(cover(F.col("geom"))))
         .withColumn("tile_x", F.shiftright("tile_id", 32))
         .withColumn("tile_y", F.col("tile_id").bitwiseAND(F.lit(0xFFFFFFFF)))
         .drop("tile_id")
@@ -147,7 +149,8 @@ def rollup_to_zoom(base_assigned: DataFrame, zoom: int, base_zoom: int = 14) -> 
         .withColumn("y", F.shiftright("tile_y", s))
     if "feat_minzoom" in df.columns:
         df = df.where(F.col("feat_minzoom") <= zoom)
-    return df.dropDuplicates(["z", "x", "y", "layer", "kind", "elem", "object_id"])
+    df, keys = _dedup_identity(df)
+    return df.dropDuplicates(keys).drop("_akd")
 
 
 def rollup_all_zooms(base_assigned: DataFrame, zooms: list, base_zoom: int = 14) -> DataFrame:
@@ -173,4 +176,24 @@ def rollup_all_zooms(base_assigned: DataFrame, zooms: list, base_zoom: int = 14)
         # tile only ever receives features big enough to matter at z6 —
         # this bounds low-zoom group sizes independent of input scale
         df = df.where(F.col("feat_minzoom") <= F.col("z"))
-    return df.dropDuplicates(["z", "x", "y", "layer", "kind", "elem", "object_id"])
+    df, keys = _dedup_identity(df)
+    return df.dropDuplicates(keys).drop("_akd")
+
+
+def _dedup_identity(df: DataFrame):
+    """U3 dedup identity, matching the reference's OutputObject
+    equality (layer, geomType, ATTRIBUTES, objectID —
+    src/output_object.cpp:142-148): two emissions of one object to the
+    same layer with different attrs are DISTINCT objects there, so the
+    attrs must be part of the key. Spark cannot dedup on MapType;
+    encode.attrs_key renders the maps to the canonical injective string
+    the encoder also sorts/dedups by (A4)."""
+    from .encode import attrs_key
+
+    keys = ["z", "x", "y", "layer", "kind", "elem", "object_id"]
+    if "attrs" in df.columns:
+        df = df.withColumn("_akd", attrs_key("attrs_num" in df.columns,
+                                             "attrs_bool" in df.columns))
+    else:
+        df = df.withColumn("_akd", F.lit(""))
+    return df, keys + ["_akd"]
