@@ -17,8 +17,9 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
-from test_shapefile import (DBF_FIELDS, _district_shapes_and_attrs,  # noqa: E402
-                            write_dbf, write_shp)
+from test_shapefile import (DBF_FIELDS, LINES_DBF_FIELDS,  # noqa: E402
+                            _district_shapes_and_attrs,
+                            _polyline_shapes_and_attrs, write_dbf, write_shp)
 
 out_dir = os.path.join(os.path.dirname(__file__), "..", "tilemaker_spark", "data")
 os.makedirs(out_dir, exist_ok=True)
@@ -26,3 +27,7 @@ shapes, rows = _district_shapes_and_attrs()
 write_shp(os.path.join(out_dir, "districts.shp"), shapes)
 write_dbf(os.path.join(out_dir, "districts.dbf"), DBF_FIELDS, rows)
 print(f"wrote {len(shapes)} district polygons to {out_dir}")
+shapes, rows = _polyline_shapes_and_attrs()
+write_shp(os.path.join(out_dir, "lines.shp"), shapes)
+write_dbf(os.path.join(out_dir, "lines.dbf"), LINES_DBF_FIELDS, rows)
+print(f"wrote {len(shapes)} polylines to {out_dir}")

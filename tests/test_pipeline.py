@@ -553,6 +553,34 @@ def test_jpeg_decode_roundtrip_and_thirdparty():
             jpeg.decode_jpeg(buf[:cut])
 
 
+def test_f8_zoom_filter_cuts_rows(spark):
+    """F8 non-vacuity guard: the per-layer zoom-range filter must
+    actually remove rows at the f8_zoom_filter zoom list (a 0-cut
+    filter would make the driver row trivially green), and the cut must
+    match the reference semantics concretely: at z4 only `place`
+    survives (poi minzoom 12 cuts the other node layer), at z12 poi is
+    back, building only appears at z >= 13."""
+    from tilemaker_spark import geocode, pipeline, tileassign
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.encode import zoom_eligible
+    from tilemaker_spark.queries_core import F8_ZOOMS, load_docs
+
+    docs = load_docs(spark, SF_DIR)
+    nodes, ways, rels = geocode.geocode(docs)
+    feats = pipeline.build_features(nodes, ways, rels).localCheckpoint()
+    assigned = tileassign.assign_base_tiles(feats, 14)
+    rolled = tileassign.rollup_all_zooms(assigned, F8_ZOOMS, 14).localCheckpoint()
+    kept = zoom_eligible(rolled, default_config())
+    n_before, n_after = rolled.count(), kept.count()
+    assert n_after < n_before, (n_before, n_after)
+    by_z = {int(r["z"]): set(r["layers"])
+            for r in kept.groupBy("z")
+                         .agg(F.collect_set("layer").alias("layers")).collect()}
+    assert by_z[4] == {"place"}
+    assert "poi" in by_z[12] and "poi" not in by_z[8]
+    assert "building" in by_z[13] and "building" not in by_z[12]
+
+
 def test_pip_big_path_no_broadcast(spark):
     """Large-reference-layer spatial join (VERDICT r4 #2): the
     broadcast_ok=False path must (a) plan the cover side WITHOUT a

@@ -97,6 +97,50 @@ def _district_shapes_and_attrs():
 DBF_FIELDS = [("district_id", "N", 10, 0), ("cx", "N", 12, 0), ("cy", "N", 12, 0)]
 
 
+N_FIXTURE_LINES = 48
+
+
+def polyline_vertices(i: int):
+    """Closed-form vertices of fixture polyline i — the same lattice as
+    the synthetic corpus lines (anchors on 1000s, wiggles on 500s, max
+    segment delta 7000 << one z14 tile), so the proven SQL re-derivation
+    of the DDA walk applies verbatim. Returns [(lons, latps), ...parts];
+    every 4th record is multi-part (second part offset +1e6/+1e6) to
+    exercise the reader's part-boundary arm. Mirrored 1:1 by the
+    j8_shp_line_cover oracle SQL (queries_spatial.py)."""
+    h = (i * 2654435761 + 40503) % 2**32
+    nv = 4 + h % 9
+    if h % 3 == 1 and (h // 3) % 3 == 1:
+        sx = 4000
+    else:
+        sx = ((h % 3) - 1) * 4000
+    sy = (((h // 3) % 3) - 1) * 4000
+    lon0 = 94710000 + (h % 1630) * 1000
+    latp0 = 534600000 + ((h // 7) % 3200) * 1000
+    parts = []
+    for off in ([0, 1000000] if i % 4 == 0 else [0]):
+        lons = [lon0 + off + j * sx + ((h * (j + 1)) % 7) * 500 for j in range(nv)]
+        latps = [latp0 + off + j * sy + ((h * (j + 2)) % 5) * 500 for j in range(nv)]
+        parts.append((np.array(lons, dtype=np.int64),
+                      np.array(latps, dtype=np.int64)))
+    return parts
+
+
+def _polyline_shapes_and_attrs():
+    """Deterministic polyline fixture (J8 driver row): coordinates are
+    a closed-form function of the record id so the oracle SQL can
+    regenerate them exactly."""
+    shapes, rows = [], []
+    for i in range(N_FIXTURE_LINES):
+        parts = [(lons / 1e7, latps / 1e7) for lons, latps in polyline_vertices(i)]
+        shapes.append((SHP.SHP_POLYLINE, parts))
+        rows.append({"line_id": i})
+    return shapes, rows
+
+
+LINES_DBF_FIELDS = [("line_id", "N", 10, 0)]
+
+
 def test_shp_roundtrip_polygon(tmp_path):
     p = str(tmp_path / "poly.shp")
     xs = np.array([1.5, 2.5, 2.0, 1.5])
@@ -124,6 +168,31 @@ def test_shp_roundtrip_point_and_line(tmp_path):
     (rec2,) = SHP.read_shp(p2)
     assert rec2["type"] == SHP.SHP_POLYLINE
     np.testing.assert_allclose(rec2["parts"][0][0], lx)
+
+
+def test_lines_fixture_matches_formula():
+    """The committed lines.shp/.dbf fixture parses (through the real
+    reader) back to the exact closed-form vertices the J8 oracle SQL
+    regenerates — the fixed-point round-trip (int -> /1e7 double in the
+    file -> rint back) is lossless, and the multi-part arm is present."""
+    data = os.path.join(os.path.dirname(SHP.__file__), "data")
+    rows = SHP.read_shapefile(os.path.join(data, "lines.shp"),
+                              os.path.join(data, "lines.dbf"),
+                              lat_is_projected=True)
+    by_lid: dict = {}
+    for r in rows:
+        assert r["shape_type"] == SHP.SHP_POLYLINE
+        by_lid.setdefault(int(r["attrs"]["line_id"]), []).append(r)
+    assert len(by_lid) == N_FIXTURE_LINES
+    n_multi = 0
+    for lid, parts in by_lid.items():
+        exp = polyline_vertices(lid)
+        assert len(parts) == len(exp)
+        n_multi += len(parts) > 1
+        for r, (elon, elat) in zip(parts, exp):
+            np.testing.assert_array_equal(r["ring_lon"], elon)
+            np.testing.assert_array_equal(r["ring_latp"], elat)
+    assert n_multi == N_FIXTURE_LINES // 4
 
 
 def test_dbf_roundtrip(tmp_path):

@@ -681,6 +681,24 @@ def make_layer_assembler(cfg: Config):
     return _group_stream(_assemble_batch, ["z", "x", "y", "order_idx"])
 
 
+def zoom_eligible(assigned: DataFrame, cfg: Config) -> DataFrame:
+    """F8: per-layer zoom-range filter (reference: LayerDef minzoom /
+    maxzoom, src/tile_worker.cpp per-layer skip), pushed down BEFORE the
+    encode shuffle — a z0 tile would otherwise receive every feature in
+    the world as one group only to drop them after the exchange. Pure
+    Catalyst (literal map lookup), so it also prunes the rollup explode
+    output map-side. Driver-verified directly by the f8_zoom_filter
+    query/oracle pair."""
+    from pyspark.sql import functions as F
+
+    minz = F.create_map(*[x for name, ld in cfg.layers.items()
+                          for x in (F.lit(name), F.lit(ld.minzoom))])
+    maxz = F.create_map(*[x for name, ld in cfg.layers.items()
+                          for x in (F.lit(name), F.lit(ld.maxzoom))])
+    return assigned.where((F.col("z") >= F.element_at(minz, F.col("layer")))
+                          & (F.col("z") <= F.element_at(maxz, F.col("layer"))))
+
+
 def encode_zoom(assigned: DataFrame, cfg: Config,
                 salted: bool | None = None) -> DataFrame:
     """(z,x,y,...feature rows) -> (z,x,y,tile,...) in two stages:
@@ -703,18 +721,12 @@ def encode_zoom(assigned: DataFrame, cfg: Config,
     """
     from pyspark.sql import functions as F
 
-    minz = F.create_map(*[x for name, ld in cfg.layers.items()
-                          for x in (F.lit(name), F.lit(ld.minzoom))])
-    maxz = F.create_map(*[x for name, ld in cfg.layers.items()
-                          for x in (F.lit(name), F.lit(ld.maxzoom))])
     has_num = "attrs_num" in assigned.columns
     has_bool = "attrs_bool" in assigned.columns
     ak = attrs_key(has_num, has_bool)
     out_layer = F.create_map(*[x for name in cfg.layers
                                for x in (F.lit(name), F.lit(cfg.output_layer_of(name)))])
-    eligible = (assigned
-                .where((F.col("z") >= F.element_at(minz, F.col("layer")))
-                       & (F.col("z") <= F.element_at(maxz, F.col("layer"))))
+    eligible = (zoom_eligible(assigned, cfg)
                 .withColumn("_out_layer", F.element_at(out_layer, F.col("layer"))))
     from .session import python_stage_partitions
 

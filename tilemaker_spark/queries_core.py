@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import assemble, classify, geocode
+from .config import default_config
 
 # ---------------------------------------------------------------- loaders
 
@@ -331,6 +332,32 @@ def q_pyramid_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tiles.select("z", "x", "y").join(idx, ["z", "x", "y"], "left")
             .select("z", "x", "y",
                     F.coalesce("n_features", F.lit(0)).alias("n_features")))
+
+
+F8_ZOOMS = [4, 8, 12, 13, 14]   # spans every default-layer minzoom threshold
+
+
+def q_f8_zoom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 driver row (per-layer zoom-range filter, reference LayerDef
+    minzoom/maxzoom): the rolled pyramid at zooms spanning every layer
+    threshold (place 4, transportation/waterway 8, landcover/water 6,
+    poi 12, building 13) run through the EXACT production filter
+    expression (encode.zoom_eligible — the same literal-map predicate
+    encode_zoom pushes below its shuffle), counted per (z, layer). The
+    oracle re-derives the rolled pyramid in SQL (the proven
+    pyramid_tiles CTEs at the wider zoom list) and applies the zoom
+    ranges from the same default_config()."""
+    from . import pipeline, tileassign
+    from .encode import zoom_eligible
+
+    docs = load_docs(spark, sf_dir)
+    nodes, ways, rels = geocode.geocode(docs)
+    feats = pipeline.build_features(nodes, ways, rels).localCheckpoint()
+    assigned = tileassign.assign_base_tiles(feats, 14)
+    rolled = tileassign.rollup_all_zooms(assigned, F8_ZOOMS, 14)
+    return (zoom_eligible(rolled, default_config())
+            .groupBy("z", "layer")
+            .agg(F.count(F.lit(1)).alias("n_rows")))
 
 
 def q_tile_bytes_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,7 +834,10 @@ _FMZ_AREA = ("CASE WHEN {a} >= 400000000 THEN 6 WHEN {a} >= 150000000 THEN 9 "
 _FMZ_LEN = ("CASE WHEN {l} >= 300000000 THEN 8 WHEN {l} >= 100000000 THEN 10 "
             "ELSE 11 END")
 
-_PYRAMID_CTES = f"""
+# zoom-list placeholder filled by _pyramid_ctes() below — the same CTE
+# chain serves pyramid_tiles ([6, 13, 14]) and f8_zoom_filter
+# ([4, 8, 12, 13, 14])
+_PYRAMID_CTES_T = f"""
 , seg_src AS (
   SELECT 'way' AS elem, wid0 AS fid, wid0 AS seg_way, FALSE AS swap FROM lines
   UNION ALL
@@ -882,13 +912,48 @@ rolled AS (
          c.elem, c.fid
   FROM allc c
   JOIN feat_fmz f ON f.elem = c.elem AND f.fid = c.fid,
-       (SELECT unnest([6, 13, 14]) AS z) zs
+       (SELECT unnest(__ZOOM_LIST__) AS z) zs
   WHERE f.fmz <= zs.z
 )
 """
 
+
+def _pyramid_ctes(zoom_list: str) -> str:
+    return _PYRAMID_CTES_T.replace("__ZOOM_LIST__", zoom_list)
+
+
+_PYRAMID_CTES = _pyramid_ctes("[6, 13, 14]")
+
 _PYRAMID_SQL = _PYRAMID_CTES + """
 SELECT z, x, y, count(*) AS n_features FROM rolled GROUP BY 1, 2, 3
+"""
+
+# F8 oracle: the rolled pyramid joined to each object's (single) layer
+# emission, filtered by the per-layer zoom range taken from the SAME
+# default_config() the Spark side uses (no duplicated constants), then
+# counted per (z, layer). Granularity matches the engine's rollup
+# dedup identity because every synthetic object has exactly one
+# (layer, kind, attrs) emission — the assumption pyramid_tiles already
+# proves.
+_F8_LAYER_VALUES = ", ".join(
+    f"('{name}', {ld.minzoom}, {ld.maxzoom})"
+    for name, ld in default_config().layers.items())
+
+_F8_SQL = GEOCODE_CTE + _pyramid_ctes("[4, 8, 12, 13, 14]") + f"""
+, feat_layer AS (
+  SELECT 'node' AS elem, object_id AS fid, layer FROM node_feats
+  UNION ALL SELECT 'way', object_id, layer FROM way_feats
+  UNION ALL SELECT 'relation', object_id, layer FROM rel_feats
+),
+layer_zr AS (
+  SELECT * FROM (VALUES {_F8_LAYER_VALUES}) AS t(layer, minz, maxz)
+)
+SELECT r.z, fl.layer, count(*) AS n_rows
+FROM rolled r
+JOIN feat_layer fl ON fl.elem = r.elem AND fl.fid = r.fid
+JOIN layer_zr lz ON lz.layer = fl.layer
+WHERE r.z >= lz.minz AND r.z <= lz.maxz
+GROUP BY 1, 2
 """
 
 
@@ -984,6 +1049,7 @@ SELECT wid0 AS way_id, CAST(1 AS INT) AS n_polys,
 FROM polys
 """,
     "pyramid_tiles": GEOCODE_CTE + _PYRAMID_SQL,
+    "f8_zoom_filter": _F8_SQL,
     # F7: the proven pyramid walk restricted to the config bounding box
     # — per-zoom integer tile ranges re-derived from the bbox constants
     # with the engine's own float op order (lon2tilex: (lon+180)*(1/360)
@@ -1086,6 +1152,7 @@ QUERIES = {
     "a5_union_area": q_a5_union_area,
     "pyramid_tiles": q_pyramid_tiles,
     "pyramid_bbox": q_pyramid_bbox,
+    "f8_zoom_filter": q_f8_zoom_filter,
     "tile_bytes_points": q_tile_bytes_points,
     "sink_mbtiles": q_sink_mbtiles,
     "sink_tilefiles": q_sink_tilefiles,

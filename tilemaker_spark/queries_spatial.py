@@ -10,7 +10,7 @@ exact int64 — no floating-point ambiguity anywhere.
 from __future__ import annotations
 
 from . import spatial
-from .queries_core import GEOCODE_CTE
+from .queries_core import GEOCODE_CTE, _XF, _YF
 
 
 def q_spatial_join_pip(spark, sf_dir):
@@ -46,6 +46,45 @@ def q_spatial_join_pip_big(spark, sf_dir):
     return spatial.point_in_polygon_join(
         spatial._points(spark, sf_dir), spatial.district_table(spark),
         broadcast_ok=False)
+
+
+def q_j8_shp_line_cover(spark, sf_dir):
+    """J8 driver row (polyline tile cover from a REAL shapefile): the
+    committed lines.shp/.dbf fixture — multi-part PolyLine records whose
+    vertices are a closed-form function of the record id
+    (tests/test_shapefile.polyline_vertices) — is parsed by the
+    pure-struct ESRI reader (reference src/read_shp.cpp:101-166 PolyLine
+    arm), packed, and run through the SAME batched DDA cover as the OSM
+    pipeline (tileassign.assign_base_tiles / kernels.tilecover,
+    reference src/shp_mem_tiles.cpp + tile cover). The oracle SQL
+    regenerates the vertices and re-derives the walk exactly (every
+    segment shorter than one z14 tile, identical IEEE op order — the
+    proven pyramid_tiles pattern)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from . import shapefile as SHP
+    from . import tileassign
+    from .kernels import geompack
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    by_rec: dict = {}
+    for r in SHP.read_shapefile(os.path.join(data, "lines.shp"),
+                                os.path.join(data, "lines.dbf"),
+                                lat_is_projected=True):
+        if r["shape_type"] != SHP.SHP_POLYLINE:
+            continue
+        lid = int(r["attrs"]["line_id"])
+        by_rec.setdefault(lid, []).append((r["ring_lon"], r["ring_latp"]))
+    rows = [(lid, bytearray(geompack.pack_line(parts)), None, None)
+            for lid, parts in sorted(by_rec.items())]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, min(8, max(1, len(rows)))),
+        "line_id BIGINT, geom BINARY, lon INT, latp INT")
+    assigned = tileassign.assign_base_tiles(df, 14)
+    return assigned.select("line_id", F.col("tile_x").alias("x"),
+                           F.col("tile_y").alias("y"))
 
 
 def q_knn_places(spark, sf_dir):
@@ -100,6 +139,7 @@ QUERIES = {
     "spatial_join_pip": q_spatial_join_pip,
     "spatial_join_pip_shp": q_spatial_join_pip_shp,
     "spatial_join_pip_big": q_spatial_join_pip_big,
+    "j8_shp_line_cover": q_j8_shp_line_cover,
     "knn_places": q_knn_places,
     "rasterize_z12": q_rasterize_z12,
     "vectorize_cells": q_vectorize_cells,
@@ -152,10 +192,82 @@ FROM node_feats f JOIN districts d
   ON abs(CAST(f.lon AS BIGINT) - d.cx) + abs(CAST(f.latp AS BIGINT) - d.cy) < {spatial.DIST_R}
 """
 
+# J8 oracle: regenerate the fixture polylines closed-form
+# (tests/test_shapefile.polyline_vertices, same lattice as the corpus
+# lines) and re-derive the z14 DDA walk exactly — identical IEEE op
+# order to kernels.tilecover (the proven pyramid_tiles pattern; every
+# segment delta <= 7000 fixed units << one z14 tile, so each segment
+# crosses at most one border per axis and the walk closes in SQL).
+_J8_LINES_SQL = f"""
+WITH hs AS (
+  SELECT i, (i * 2654435761 + 40503) % 4294967296 AS h
+  FROM (SELECT unnest(range(48)) AS i)
+),
+base AS (
+  SELECT i, h, CAST(4 + h % 9 AS INT) AS nv,
+    CASE WHEN h % 3 = 1 AND (h // 3) % 3 = 1 THEN 4000
+         ELSE ((h % 3) - 1) * 4000 END AS sx,
+    (((h // 3) % 3) - 1) * 4000 AS sy,
+    CAST(94710000 + (h % 1630) * 1000 AS BIGINT) AS lon0,
+    CAST(534600000 + ((h // 7) % 3200) * 1000 AS BIGINT) AS latp0
+  FROM hs
+),
+parts AS (
+  SELECT *, 0 AS off FROM base
+  UNION ALL
+  SELECT *, 1000000 FROM base WHERE i % 4 = 0
+),
+verts AS (
+  SELECT i,
+    list_transform(range(nv), j -> lon0 + off + j*sx + ((h*(j+1)) % 7)*500) AS lons,
+    list_transform(range(nv), j -> latp0 + off + j*sy + ((h*(j+2)) % 5)*500) AS latps
+  FROM parts
+),
+segv AS (
+  SELECT i AS fid, lons, latps,
+         unnest(range(1, CAST(len(lons) AS INT))) AS j
+  FROM verts
+),
+segs AS (
+  SELECT fid, lons[j] AS al, latps[j] AS ap,
+         lons[j+1] AS bl, latps[j+1] AS bp
+  FROM segv
+),
+segf AS (
+  SELECT fid,
+    {{xf1}} AS xf1, {{yf1}} AS yf1,
+    {{xf2}} AS xf2, {{yf2}} AS yf2
+  FROM segs
+),
+segt AS (
+  SELECT *, CAST(trunc(xf1) AS BIGINT) AS x1, CAST(trunc(yf1) AS BIGINT) AS y1,
+            CAST(trunc(xf2) AS BIGINT) AS x2, CAST(trunc(yf2) AS BIGINT) AS y2
+  FROM segf
+),
+cand AS (
+  SELECT fid, x1 AS x, y1 AS y FROM segt
+  UNION ALL SELECT fid, x2, y2 FROM segt
+  UNION ALL
+  SELECT fid, greatest(x1, x2),
+    CAST(trunc(yf1 + (CAST(greatest(x1, x2) AS DOUBLE) - xf1) * ((yf2 - yf1) / (xf2 - xf1))) AS BIGINT)
+  FROM segt WHERE x1 <> x2
+  UNION ALL
+  SELECT fid,
+    CAST(trunc(xf1 + (CAST(greatest(y1, y2) AS DOUBLE) - yf1) * ((xf2 - xf1) / (yf2 - yf1))) AS BIGINT),
+    greatest(y1, y2)
+  FROM segt WHERE y1 <> y2
+)
+SELECT DISTINCT fid AS line_id, x, y FROM cand
+"""
+_J8_LINES_SQL = _J8_LINES_SQL.format(
+    xf1=_XF.format(v="al"), yf1=_YF.format(v="ap"),
+    xf2=_XF.format(v="bl"), yf2=_YF.format(v="bp"))
+
 ORACLES = {
     "spatial_join_pip": _PIP_SQL,
     "spatial_join_pip_shp": _PIP_SQL,
     "spatial_join_pip_big": _PIP_SQL,
+    "j8_shp_line_cover": _J8_LINES_SQL,
     "knn_places": GEOCODE_CTE + """
 , q AS (SELECT object_id, lon, latp FROM node_feats WHERE layer = 'poi'),
 p AS (SELECT object_id AS place_id, lon, latp FROM node_feats WHERE layer = 'place'),
