@@ -82,7 +82,10 @@ def q_j8_shp_line_cover(spark, sf_dir):
     df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, min(8, max(1, len(rows)))),
         "line_id BIGINT, geom BINARY, lon INT, latp INT")
-    assigned = tileassign.assign_base_tiles(df, 14)
+    # rebalance=False: the fixture is 48 driver-local rows — an
+    # unpersisted LogicalRDD is unsizable, and the conservative scale
+    # mode would insert a cores*8-task exchange for nothing
+    assigned = tileassign.assign_base_tiles(df, 14, rebalance=False)
     return assigned.select("line_id", F.col("tile_x").alias("x"),
                            F.col("tile_y").alias("y"))
 

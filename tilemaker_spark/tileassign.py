@@ -103,11 +103,17 @@ def _cover_udf(base_zoom: int):
     return cover
 
 
-def assign_base_tiles(features: DataFrame, base_zoom: int = 14) -> DataFrame:
+def assign_base_tiles(features: DataFrame, base_zoom: int = 14,
+                      rebalance: bool | None = None) -> DataFrame:
     """features (assembled) -> one row per (feature x base-zoom tile).
 
     -> columns: tile_x, tile_y + all feature columns. The explode is the
     central fan-out; downstream groupBys key on (zoom, x, y).
+
+    ``rebalance`` overrides the input-size heuristic for the pre-cover
+    shuffle (None = size the input; an unpersisted driver-local RDD is
+    unsizable and conservatively lands in scale mode, so callers with
+    provably tiny inputs pass False to skip the pointless exchange).
     """
     pts = features.where(F.col("geom").isNull())
     px, py = point_tile_expr(F.col("lon"), F.col("latp"), base_zoom)
@@ -123,7 +129,9 @@ def assign_base_tiles(features: DataFrame, base_zoom: int = 14) -> DataFrame:
     # small inputs the rebalance shuffle + fine task count cost more
     # than the balance buys (BENCH.md A/B: 4.2 s bare vs 6.6-10.9 s
     # with it at sf0.1), so it is skipped below the size threshold.
-    if not is_small_input(features):
+    if rebalance is None:
+        rebalance = not is_small_input(features)
+    if rebalance:
         geoms = geoms.repartition(python_stage_partitions(features.sparkSession))
     cover = _cover_udf(base_zoom)
     geoms_assigned = (
