@@ -581,6 +581,45 @@ def test_f8_zoom_filter_cuts_rows(spark):
     assert "building" in by_z[13] and "building" not in by_z[12]
 
 
+def test_f8_sentinel_pushdown_byte_identical(spark):
+    """The F8 sentinel pushdown (rollup collapses out-of-zoom-range
+    rows to one coord-preserving sentinel per (tile, layer) BELOW the
+    dedup exchange) must be invisible downstream: the full encoded
+    pyramid — tile set, bytes, counts, hashes — is identical with and
+    without it, including the empty tiles whose only features are
+    out-of-range (reference parity: tile_worker.cpp:166 skips the layer
+    at write time but the tile still comes from the index,
+    tile_data.cpp:163-170)."""
+    import hashlib
+
+    from tilemaker_spark import geocode, pipeline, tileassign
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.encode import encode_zoom
+    from tilemaker_spark.queries_core import load_docs
+
+    cfg = default_config()
+    zooms = [0, 4, 8, 12, 13, 14]   # crosses every layer minzoom threshold
+    docs = load_docs(spark, SF_DIR)
+    nodes, ways, rels = geocode.geocode(docs)
+    feats = pipeline.build_features(nodes, ways, rels).localCheckpoint()
+    assigned = tileassign.assign_base_tiles(feats, 14).localCheckpoint()
+
+    def snap(cfg_arg):
+        rolled = tileassign.rollup_all_zooms(assigned, zooms, 14, cfg=cfg_arg)
+        return sorted(
+            (r["z"], r["x"], r["y"],
+             hashlib.sha256(bytes(r["tile"])).hexdigest(),
+             r["feature_count"], r["geometry_hash"], r["raw_bytes"])
+            for r in encode_zoom(rolled, cfg).collect())
+
+    base, pushed = snap(None), snap(cfg)
+    assert len(base) > 0 and base == pushed
+    # and the pushdown is non-vacuous: the exchange row count shrinks
+    n_base = tileassign.rollup_all_zooms(assigned, zooms, 14).count()
+    n_push = tileassign.rollup_all_zooms(assigned, zooms, 14, cfg=cfg).count()
+    assert n_push < n_base, (n_push, n_base)
+
+
 def test_pip_big_path_no_broadcast(spark):
     """Large-reference-layer spatial join (VERDICT r4 #2): the
     broadcast_ok=False path must (a) plan the cover side WITHOUT a

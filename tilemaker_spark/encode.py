@@ -681,6 +681,22 @@ def make_layer_assembler(cfg: Config):
     return _group_stream(_assemble_batch, ["z", "x", "y", "order_idx"])
 
 
+def zoom_range_predicate(cfg: Config):
+    """F8 predicate as a Catalyst Column: row's z within its layer's
+    [minzoom, maxzoom] (literal-map lookup; layer names always come
+    from the same config, so the ANSI missing-key path never fires).
+    Shared by zoom_eligible (the encode-side filter) and the rollup's
+    sentinel pushdown (tileassign._sentinelize_out_of_range)."""
+    from pyspark.sql import functions as F
+
+    minz = F.create_map(*[x for name, ld in cfg.layers.items()
+                          for x in (F.lit(name), F.lit(ld.minzoom))])
+    maxz = F.create_map(*[x for name, ld in cfg.layers.items()
+                          for x in (F.lit(name), F.lit(ld.maxzoom))])
+    return ((F.col("z") >= F.element_at(minz, F.col("layer")))
+            & (F.col("z") <= F.element_at(maxz, F.col("layer"))))
+
+
 def zoom_eligible(assigned: DataFrame, cfg: Config) -> DataFrame:
     """F8: per-layer zoom-range filter (reference: LayerDef minzoom /
     maxzoom, src/tile_worker.cpp per-layer skip), pushed down BEFORE the
@@ -689,14 +705,7 @@ def zoom_eligible(assigned: DataFrame, cfg: Config) -> DataFrame:
     Catalyst (literal map lookup), so it also prunes the rollup explode
     output map-side. Driver-verified directly by the f8_zoom_filter
     query/oracle pair."""
-    from pyspark.sql import functions as F
-
-    minz = F.create_map(*[x for name, ld in cfg.layers.items()
-                          for x in (F.lit(name), F.lit(ld.minzoom))])
-    maxz = F.create_map(*[x for name, ld in cfg.layers.items()
-                          for x in (F.lit(name), F.lit(ld.maxzoom))])
-    return assigned.where((F.col("z") >= F.element_at(minz, F.col("layer")))
-                          & (F.col("z") <= F.element_at(maxz, F.col("layer"))))
+    return assigned.where(zoom_range_predicate(cfg))
 
 
 def encode_zoom(assigned: DataFrame, cfg: Config,

@@ -130,7 +130,7 @@ def pyramid_df(spark: SparkSession, docs: DataFrame, cfg: Config | None = None,
     # effect from its parquet stage checkpoint)
     features = build_features(nodes, ways, relations).localCheckpoint()
     assigned = tileassign.assign_base_tiles(features, cfg.basezoom)
-    rolled = tileassign.rollup_all_zooms(assigned, zooms, cfg.basezoom)
+    rolled = tileassign.rollup_all_zooms(assigned, zooms, cfg.basezoom, cfg=cfg)
     return encode_zoom(rolled, cfg)
 
 
@@ -185,7 +185,7 @@ def run_pyramid(spark: SparkSession, docs: DataFrame, out_dir: str,
             tile_paths.append(zpath)
             if resume and _stage_done(zpath):
                 continue
-            rolled = tileassign.rollup_to_zoom(base_assigned, z, cfg.basezoom)
+            rolled = tileassign.rollup_to_zoom(base_assigned, z, cfg.basezoom, cfg=cfg)
             tiles = encode_zoom(rolled, cfg)
             _write_stage(tiles, zpath)
             _lineage(spark, spark.read.parquet(zpath), f"tiles_z{z}", metrics_dir,
@@ -196,7 +196,7 @@ def run_pyramid(spark: SparkSession, docs: DataFrame, out_dir: str,
     # the base table, map-side-combined dedup, one encode shuffle.
     tiles_path = os.path.join(out_dir, "stage_tiles")
     if not (resume and _stage_done(tiles_path)):
-        rolled = tileassign.rollup_all_zooms(base_assigned, zooms, cfg.basezoom)
+        rolled = tileassign.rollup_all_zooms(base_assigned, zooms, cfg.basezoom, cfg=cfg)
         tiles = encode_zoom(rolled, cfg)
         _write_stage(tiles, tiles_path, partition_by=["z"])
         _lineage(spark, spark.read.parquet(tiles_path), "tiles", metrics_dir,

@@ -143,13 +143,15 @@ def assign_base_tiles(features: DataFrame, base_zoom: int = 14,
     return pts_assigned.unionByName(geoms_assigned)
 
 
-def rollup_to_zoom(base_assigned: DataFrame, zoom: int, base_zoom: int = 14) -> DataFrame:
+def rollup_to_zoom(base_assigned: DataFrame, zoom: int, base_zoom: int = 14,
+                   cfg=None) -> DataFrame:
     """A2/A3: derive zoom-z tile content from the base-zoom assignment.
 
     parent x = x >> (bz - z) (reference: src/tile_data.cpp:21-22 divides
     by 2^(bz-z)). Distinct per feature (a feature covering many base
     cells appears once per parent tile) — the A4 dedup semantic
-    (src/tile_data.cpp:135).
+    (src/tile_data.cpp:135). ``cfg`` enables the same F8 sentinel
+    pushdown as rollup_all_zooms.
     """
     s = base_zoom - zoom
     df = base_assigned.withColumn("z", F.lit(zoom)) \
@@ -157,11 +159,50 @@ def rollup_to_zoom(base_assigned: DataFrame, zoom: int, base_zoom: int = 14) -> 
         .withColumn("y", F.shiftright("tile_y", s))
     if "feat_minzoom" in df.columns:
         df = df.where(F.col("feat_minzoom") <= zoom)
+    if cfg is not None:
+        df = _sentinelize_out_of_range(df, cfg)
     df, keys = _dedup_identity(df)
     return df.dropDuplicates(keys).drop("_akd")
 
 
-def rollup_all_zooms(base_assigned: DataFrame, zooms: list, base_zoom: int = 14) -> DataFrame:
+def _sentinelize_out_of_range(df: DataFrame, cfg) -> DataFrame:
+    """F8 pushdown BELOW the rollup dedup exchange, without breaking
+    empty-tile parity. A rolled row whose layer is out of zoom range
+    contributes nothing downstream except its tile COORD: the reference
+    still writes that tile (the layer loop skips at write time,
+    src/tile_worker.cpp:166; the tile set comes from the index,
+    src/tile_data.cpp:163-170), and encode_zoom mirrors that by taking
+    the coord universe from pre-filter rows. So out-of-range rows are
+    projected onto ONE sentinel identity per (tile, layer) — object_id
+    -1, payload columns nulled — and the dedup's map-side partial
+    aggregate collapses them before the exchange (45% of rolled rows at
+    the default config are out-of-range, dominated by poi below z12).
+    Downstream is untouched: encode_zoom's zoom filter drops the
+    sentinels exactly as it dropped the originals (the layer name stays
+    real, so the ANSI map lookup is safe), after the coord universe has
+    been taken."""
+    from .encode import zoom_range_predicate
+
+    elig = zoom_range_predicate(cfg)
+    keep = {"z", "x", "y", "layer"}
+    forced = {"object_id": F.lit(-1).cast("long"),
+              "kind": F.lit(0),
+              "elem": F.lit("")}
+    exprs = []
+    for c in df.columns:
+        if c in keep:
+            exprs.append(F.col(c))
+        elif c in forced:
+            exprs.append(F.when(elig, F.col(c)).otherwise(forced[c]).alias(c))
+        else:
+            # no otherwise -> typed NULL: geom/attr payloads of
+            # out-of-range rows never cross the exchange
+            exprs.append(F.when(elig, F.col(c)).alias(c))
+    return df.select(*exprs)
+
+
+def rollup_all_zooms(base_assigned: DataFrame, zooms: list, base_zoom: int = 14,
+                     cfg=None) -> DataFrame:
     """A2/A3 for the whole pyramid in ONE pass over the base table.
 
     explode(zooms) fans each base-cell row out to every requested zoom,
@@ -184,6 +225,8 @@ def rollup_all_zooms(base_assigned: DataFrame, zooms: list, base_zoom: int = 14)
         # tile only ever receives features big enough to matter at z6 —
         # this bounds low-zoom group sizes independent of input scale
         df = df.where(F.col("feat_minzoom") <= F.col("z"))
+    if cfg is not None:
+        df = _sentinelize_out_of_range(df, cfg)
     df, keys = _dedup_identity(df)
     return df.dropDuplicates(keys).drop("_akd")
 
