@@ -939,7 +939,7 @@ _F8_LAYER_VALUES = ", ".join(
     f"('{name}', {ld.minzoom}, {ld.maxzoom})"
     for name, ld in default_config().layers.items())
 
-_F8_SQL = GEOCODE_CTE + _pyramid_ctes("[4, 8, 12, 13, 14]") + f"""
+_F8_SQL = GEOCODE_CTE + _pyramid_ctes(str(F8_ZOOMS)) + f"""
 , feat_layer AS (
   SELECT 'node' AS elem, object_id AS fid, layer FROM node_feats
   UNION ALL SELECT 'way', object_id, layer FROM way_feats

@@ -9,6 +9,8 @@ exact int64 — no floating-point ambiguity anywhere.
 
 from __future__ import annotations
 
+import os
+
 from . import spatial
 from .queries_core import GEOCODE_CTE, _XF, _YF
 
@@ -24,8 +26,6 @@ def q_spatial_join_pip_shp(spark, sf_dir):
     src/read_shp.cpp:101-249) instead of the synthetic generator. The
     oracle is identical to spatial_join_pip — the fixture encodes the
     same diamonds (written by the independent test writer)."""
-    import os
-
     from . import shapefile as SHP
 
     data = os.path.join(os.path.dirname(__file__), "data")
@@ -60,8 +60,6 @@ def q_j8_shp_line_cover(spark, sf_dir):
     regenerates the vertices and re-derives the walk exactly (every
     segment shorter than one z14 tile, identical IEEE op order — the
     proven pyramid_tiles pattern)."""
-    import os
-
     from pyspark.sql import functions as F
 
     from . import shapefile as SHP
@@ -195,6 +193,20 @@ FROM node_feats f JOIN districts d
   ON abs(CAST(f.lon AS BIGINT) - d.cx) + abs(CAST(f.latp AS BIGINT) - d.cy) < {spatial.DIST_R}
 """
 
+def _dbf_record_count(path: str) -> int:
+    """Record count from a dBase III header (uint32 LE at offset 4) —
+    ties the J8 oracle's id enumeration to the COMMITTED fixture, so a
+    regenerated lines.dbf with a different line count cannot silently
+    diverge from the range the oracle walks."""
+    import struct
+
+    with open(path, "rb") as f:
+        return struct.unpack_from("<I", f.read(8), 4)[0]
+
+
+_N_FIXTURE_LINES = _dbf_record_count(
+    os.path.join(os.path.dirname(__file__), "data", "lines.dbf"))
+
 # J8 oracle: regenerate the fixture polylines closed-form
 # (tests/test_shapefile.polyline_vertices, same lattice as the corpus
 # lines) and re-derive the z14 DDA walk exactly — identical IEEE op
@@ -204,7 +216,7 @@ FROM node_feats f JOIN districts d
 _J8_LINES_SQL = f"""
 WITH hs AS (
   SELECT i, (i * 2654435761 + 40503) % 4294967296 AS h
-  FROM (SELECT unnest(range(48)) AS i)
+  FROM (SELECT unnest(range({_N_FIXTURE_LINES})) AS i)
 ),
 base AS (
   SELECT i, h, CAST(4 + h % 9 AS INT) AS nv,
