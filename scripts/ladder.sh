@@ -21,7 +21,8 @@ PYEOF
 echo "# ceiling done $(date +%H:%M:%S) load: $(cat /proc/loadavg)" >> "$LOG"
 for CPUS in 32 8 2; do
   SPARK_GRAFT_SCALING_REPS=3 python scripts/scaling_bench.py run "$CPUS" "$MULT" pyramid 2>>"$LOG" | grep '^{' >> "$OUT"
-  echo "# === level $CPUS done rc=$? $(date +%H:%M:%S) load: $(cat /proc/loadavg)" >> "$LOG"
+  RC=${PIPESTATUS[0]}
+  echo "# === level $CPUS done rc=$RC $(date +%H:%M:%S) load: $(cat /proc/loadavg)" >> "$LOG"
 done
 echo "# window end $(date +%H:%M:%S) load: $(cat /proc/loadavg)" >> "$LOG"
 echo LADDER_COMPLETE
